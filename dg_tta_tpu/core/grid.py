@@ -1,0 +1,150 @@
+"""Spatial resampling primitives: affine grids and trilinear grid sampling.
+
+TPU-native equivalents of the torch ops the reference leans on everywhere
+(`F.affine_grid` / `F.grid_sample`; see /root/reference/dg_tta/tta/tta.py:143,
+torch_utils.py:55-73, augmentation_utils.py:84-129).  Implemented as pure XLA
+gather programs over channels-last volumes so they fuse into the surrounding
+jitted step; no data-dependent shapes.
+
+Conventions (kept torch-compatible so checkpoint/plan parity is testable):
+  * volumes are channels-last: (B, D, H, W, C)
+  * grids are (B, D, H, W, 3) with the LAST axis in (x, y, z) order, where
+    x indexes W, y indexes H, z indexes D, normalized to [-1, 1]
+  * `align_corners` follows torch semantics exactly
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _base_coords(size: int, align_corners: bool, dtype) -> jnp.ndarray:
+    """Normalized sample coordinates along one axis, torch convention."""
+    if align_corners:
+        return jnp.linspace(-1.0, 1.0, size, dtype=dtype)
+    # pixel centers of a size-`size` axis mapped into [-1, 1]
+    return (2.0 * jnp.arange(size, dtype=dtype) + 1.0) / size - 1.0
+
+
+def identity_grid(spatial_size, align_corners: bool = False, dtype=jnp.float32):
+    """Identity sampling grid of shape (D, H, W, 3), xyz-ordered last axis."""
+    D, H, W = spatial_size
+    z = _base_coords(D, align_corners, dtype)
+    y = _base_coords(H, align_corners, dtype)
+    x = _base_coords(W, align_corners, dtype)
+    zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
+    return jnp.stack([xx, yy, zz], axis=-1)
+
+
+def affine_grid(theta, spatial_size, align_corners: bool = False):
+    """Sampling grid for a batch of affine maps, torch `F.affine_grid` semantics.
+
+    Args:
+      theta: (B, 3, 4) affine matrices acting on xyz-ordered homogeneous
+        normalized coordinates.
+      spatial_size: (D, H, W) of the output grid.
+    Returns:
+      (B, D, H, W, 3) grid, xyz-ordered last axis.
+    """
+    theta = jnp.asarray(theta)
+    D, H, W = spatial_size
+    base = identity_grid((D, H, W), align_corners, theta.dtype)  # (D,H,W,3)
+    base = jnp.concatenate([base, jnp.ones((D, H, W, 1), theta.dtype)], axis=-1)
+    # out[b, d, h, w, i] = sum_j theta[b, i, j] * base[d, h, w, j]
+    return jnp.einsum("bij,dhwj->bdhwi", theta, base)
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+@partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
+def grid_sample(
+    vol,
+    grid,
+    mode: str = "trilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+):
+    """Sample a channels-last volume at grid locations (torch `F.grid_sample`).
+
+    Args:
+      vol: (B, D, H, W, C) input volume.
+      grid: (B, Do, Ho, Wo, 3) normalized xyz coordinates.
+      mode: "trilinear" | "nearest".
+      padding_mode: "zeros" | "border".
+    Returns:
+      (B, Do, Ho, Wo, C) resampled volume.
+    """
+    assert mode in ("trilinear", "nearest"), mode
+    assert padding_mode in ("zeros", "border"), padding_mode
+    B, D, H, W, C = vol.shape
+    out_spatial = grid.shape[1:4]
+
+    x = _unnormalize(grid[..., 0], W, align_corners)
+    y = _unnormalize(grid[..., 1], H, align_corners)
+    z = _unnormalize(grid[..., 2], D, align_corners)
+
+    flat = vol.reshape(B, D * H * W, C)
+
+    def gather(zi, yi, xi, w=None):
+        """Gather vol[b, zi, yi, xi, :] with clamping; weight/mask w applied."""
+        inb = (
+            (zi >= 0) & (zi <= D - 1)
+            & (yi >= 0) & (yi <= H - 1)
+            & (xi >= 0) & (xi <= W - 1)
+        )
+        zc = jnp.clip(zi, 0, D - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        xc = jnp.clip(xi, 0, W - 1)
+        lin = (zc * H + yc) * W + xc  # (B, Do, Ho, Wo)
+        lin2 = lin.reshape(B, -1)
+        vals = jnp.take_along_axis(flat, lin2[..., None], axis=1)
+        vals = vals.reshape(*lin.shape, C)
+        if padding_mode == "zeros":
+            scale = inb.astype(vol.dtype) if w is None else w * inb.astype(vol.dtype)
+        else:
+            scale = w
+        if scale is not None:
+            vals = vals * scale[..., None]
+        return vals
+
+    if mode == "nearest":
+        # torch rounds half away from floor via round-to-nearest-even on the
+        # unnormalized coordinate; jnp.round matches numpy (banker's). torch
+        # uses std::nearbyint (also even-rounding), so jnp.round is parity.
+        zi = jnp.round(z).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        xi = jnp.round(x).astype(jnp.int32)
+        return gather(zi, yi, xi)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    tx = x - x0
+    ty = y - y0
+    tz = z - z0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    z0 = z0.astype(jnp.int32)
+    x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1
+
+    out = (
+        gather(z0, y0, x0, (1 - tz) * (1 - ty) * (1 - tx))
+        + gather(z0, y0, x1, (1 - tz) * (1 - ty) * tx)
+        + gather(z0, y1, x0, (1 - tz) * ty * (1 - tx))
+        + gather(z0, y1, x1, (1 - tz) * ty * tx)
+        + gather(z1, y0, x0, tz * (1 - ty) * (1 - tx))
+        + gather(z1, y0, x1, tz * (1 - ty) * tx)
+        + gather(z1, y1, x0, tz * ty * (1 - tx))
+        + gather(z1, y1, x1, tz * ty * tx)
+    )
+    return out.reshape(B, *out_spatial, C)
+
+
+def warp(vol, disp_grid, **kw):
+    """Convenience: sample `vol` at `identity + displacement` positions."""
+    return grid_sample(vol, disp_grid, **kw)

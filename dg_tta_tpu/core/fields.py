@@ -1,0 +1,172 @@
+"""Random spatial augmentation fields: smooth random fields, inverse-consistent
+diffeomorphic displacement fields, and random affines.
+
+Reference semantics: /root/reference/dg_tta/tta/augmentation_utils.py:8-170.
+All randomness is explicit-key JAX PRNG. The reference's `get_disp_field`
+carries a latent TypeError (it forwards a nonexistent `alternating_fields`
+kwarg, augmentation_utils.py:141-148); here the deformable path is implemented
+correctly and covered by tests.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from dg_tta_tpu.core.grid import grid_sample, identity_grid
+
+
+def _avg_pool3d_same(x, k: int):
+    """Average pool with stride 1 and torch-style padding k//2 on both sides.
+
+    x: (B, D, H, W, C). Matches F.avg_pool3d(kernel, stride=1, padding=k//2)
+    with count_include_pad=True (the torch default used by the reference).
+    """
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (p, p), (0, 0)))
+    win = jax.lax.reduce_window(
+        xp,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, k, k, k, 1),
+        window_strides=(1, 1, 1, 1, 1),
+        padding="VALID",
+    )
+    return win / float(k**3)
+
+
+def _resize_trilinear(x, size_3d):
+    """Trilinear resize matching F.interpolate(mode='trilinear',
+    align_corners=False): sample at output-pixel centers with border clamp."""
+    B = x.shape[0]
+    grid = identity_grid(size_3d, align_corners=False, dtype=x.dtype)
+    grid = jnp.broadcast_to(grid[None], (B, *size_3d, 3))
+    return grid_sample(x, grid, mode="trilinear", padding_mode="border",
+                       align_corners=False)
+
+
+def get_rf_field(key, num_batch, size_3d, interpolation_factor: int = 4,
+                 num_fields: int = 4, dtype=jnp.float32):
+    """Smoothed, zero-mean, unit-std random field.
+
+    Reference: augmentation_utils.py:8-43 -- randn at size/interp_factor,
+    3x avg_pool3d(k=interp_factor, stride=1, pad=k//2), trilinear upsample,
+    normalize mean/std per (batch, field).
+
+    Returns (B, D, H, W, num_fields) channels-last.
+    """
+    small = tuple(s // interpolation_factor for s in size_3d)
+    field = jax.random.normal(key, (num_batch, *small, num_fields), dtype)
+    for _ in range(3):
+        field = _avg_pool3d_same(field, interpolation_factor)
+    field = _resize_trilinear(field, size_3d)
+    mean = jnp.mean(field, axis=(1, 2, 3), keepdims=True)
+    field = field - mean
+    std = jnp.std(field, axis=(1, 2, 3), keepdims=True)
+    return field / (1e-3 + std)
+
+
+def _warp_field(field_cl, positions_xyz):
+    """grid_sample a (B,D,H,W,3) displacement field at given xyz positions."""
+    return grid_sample(field_cl, positions_xyz, mode="trilinear",
+                       padding_mode="border", align_corners=True)
+
+
+def calc_consistent_diffeomorphic_field(
+    disp_field,
+    inverse_disp_field,
+    time_steps: int = 1,
+    ensure_inverse_consistency: bool = True,
+    iter_steps_override=None,
+):
+    """Scaling-and-squaring with optional inverse-consistency iterations.
+
+    Reference: augmentation_utils.py:46-135 (Arsigny log-Euclidean framework).
+    Fields are channels-last (B, D, H, W, 3) in *voxel* units, xyz-ordered to
+    match grid convention; internally normalized by (W, H, D).
+
+    Returns (disp, inverse_disp) in voxel units, channels-last.
+    """
+    B, D, H, W, _ = disp_field.shape
+    # normalize xyz components by full extents (torch divides the zyx-ordered
+    # field by (D,H,W); our last axis is xyz so divide by (W,H,D)... note the
+    # reference's field channels are grid-ordered too, so this is the same op)
+    dim_corr = jnp.asarray([W, H, D], disp_field.dtype).reshape(1, 1, 1, 1, 3)
+    dt = 1.0 / time_steps
+    steps = iter_steps_override if iter_steps_override else time_steps
+
+    identity = identity_grid((D, H, W), align_corners=True,
+                             dtype=disp_field.dtype)[None]
+
+    if ensure_inverse_consistency:
+        ds = disp_field / dim_corr / (2**time_steps) * dt
+        inv_ds = inverse_disp_field / dim_corr / (2**time_steps) * dt
+
+        def body(_, carry):
+            ds, inv_ds = carry
+            new_ds = 0.5 * ds - 0.5 * _warp_field(inv_ds, identity + ds)
+            new_inv = 0.5 * inv_ds - 0.5 * _warp_field(ds, identity + inv_ds)
+            return new_ds, new_inv
+
+        ds, inv_ds = jax.lax.fori_loop(0, steps, body, (ds, inv_ds))
+        out = ds * (2**time_steps) * dim_corr
+        out_inv = inv_ds * (2**time_steps) * dim_corr
+    else:
+        ds = disp_field / dim_corr / (2**time_steps) * dt
+        inv_ds = inverse_disp_field / dim_corr / (2**time_steps) * dt
+
+        def body(_, carry):
+            ds, inv_ds = carry
+            new_ds = ds + grid_sample(ds, identity + ds, mode="trilinear",
+                                      padding_mode="zeros", align_corners=True)
+            new_inv = inv_ds + grid_sample(inv_ds, identity + inv_ds,
+                                           mode="trilinear",
+                                           padding_mode="zeros",
+                                           align_corners=True)
+            return new_ds, new_inv
+
+        ds, inv_ds = jax.lax.fori_loop(0, steps, body, (ds, inv_ds))
+        out = ds * dim_corr
+        out_inv = inv_ds * dim_corr
+
+    return out, out_inv
+
+
+def get_disp_field(key, batch_num, size_3d, factor: float = 0.1,
+                   interpolation_factor: int = 5):
+    """Random inverse-consistent displacement grids (normalized units).
+
+    Reference: augmentation_utils.py:138-153 (with its latent kwarg bug fixed).
+    Returns (disp, inverse_disp) of shape (B, D, H, W, 3) as *grid offsets*
+    (add to an identity grid before grid_sample).
+    """
+    field = get_rf_field(key, batch_num, size_3d, num_fields=3,
+                         interpolation_factor=interpolation_factor)
+    STEPS = 5
+    disp, inv_disp = calc_consistent_diffeomorphic_field(
+        field * factor, jnp.zeros_like(field), STEPS,
+        ensure_inverse_consistency=True,
+    )
+    # reference permutes (B,3,D,H,W)->(B,D,H,W,3); we are already channels-last
+    return disp, inv_disp
+
+
+def get_rand_affine(key, batch_size: int, strength: float = 0.05,
+                    flip: bool = False, dtype=jnp.float32):
+    """Random affine near identity plus its inverse (augmentation_utils.py:156-170).
+
+    Returns (theta, theta_inverse), each (B, 3, 4).
+    """
+    k1, k2 = jax.random.split(key)
+    noise = jax.random.normal(k1, (batch_size, 3, 4), dtype) * strength
+    affine = jnp.concatenate(
+        [
+            noise + jnp.eye(3, 4, dtype=dtype)[None],
+            jnp.tile(jnp.asarray([[[0.0, 0.0, 0.0, 1.0]]], dtype), (batch_size, 1, 1)),
+        ],
+        axis=1,
+    )
+    if flip:
+        signs = 2.0 * (jax.random.uniform(k2, (3,)) > 0.5).astype(dtype) - 1.0
+        flip_affine = jnp.diag(jnp.concatenate([signs, jnp.ones((1,), dtype)]))
+        affine = affine @ flip_affine
+    inverse = jnp.linalg.inv(affine)
+    return affine[:, :3], inverse[:, :3]

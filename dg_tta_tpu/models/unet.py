@@ -1,0 +1,201 @@
+"""PlainConvUNet as a pure function over a parameter pytree.
+
+TPU-first re-implementation of the nnUNet v2 `PlainConvUNet` the reference
+builds via `get_network_from_plans`
+(/root/reference/dg_tta/pretraining/nnUNetTrainer_GIN.py:46-52; architecture
+defined by the shipped plans.json).  Conv-IN-LeakyReLU blocks, strided-conv
+downsampling, transpose-conv upsampling, per-resolution segmentation heads
+(deep supervision).
+
+Layout: channels-last NDHWC everywhere (XLA:TPU's preferred conv layout; the
+MXU consumes DHWIO kernels directly).  Parameters are a nested dict pytree
+whose leaf names mirror the torch state_dict semantics so the checkpoint
+converter (models/convert.py) is a pure relabel + transpose.
+
+Param tree schema:
+  {
+    "encoder": {"stages": [ {"convs": [ {"conv": {"w","b"},
+                                          "norm": {"scale","bias"}} ]} ]},
+    "decoder": {
+       "transpconvs": [ {"w","b"} ],
+       "stages":      [ {"convs": [ ... same as encoder ... ]} ],
+       "seg_layers":  [ {"w","b"} ],
+    },
+  }
+Conv w: (kd, kh, kw, cin, cout).  Transpconv w: (kd, kh, kw, c_out_up,
+c_in_below) -- the DHWIO layout of the *forward* conv whose transpose this is,
+as consumed by lax.conv_transpose(transpose_kernel=True) for exact torch
+ConvTranspose3d parity.
+"""
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dg_tta_tpu.models.plans import ArchSpec
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _conv(x, w, b, stride=(1, 1, 1)):
+    # torch-style symmetric padding k//2 (differs from XLA "SAME" window
+    # placement at stride 2 -- parity with nnUNet requires the explicit form)
+    pad = [(w.shape[i] // 2, w.shape[i] // 2) for i in range(3)]
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, _DN)
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=pad, dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+    )
+    return (out + b).astype(x.dtype)
+
+
+def _conv_transpose(x, w, b, stride=(2, 2, 2)):
+    """torch ConvTranspose3d(k=stride, padding=0) equivalent.
+
+    `w` is stored as (kd, kh, kw, I, O) in *torch orientation* (I = decoder
+    input channels, O = output channels); transpose_kernel=True makes
+    lax.conv_transpose apply the torch-transposed-conv semantics exactly.
+    """
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, _DN)
+    out = jax.lax.conv_transpose(
+        x, w, strides=stride, padding="VALID", dimension_numbers=dn,
+        transpose_kernel=True,
+    )
+    return (out + b).astype(x.dtype)
+
+
+def _instance_norm(x, scale, bias, eps):
+    """InstanceNorm over spatial dims, per (sample, channel); affine.
+
+    Stats in float32 regardless of compute dtype (Dice-safe under bf16).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _leaky(x, slope):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _conv_block(x, p, stride, spec):
+    x = _conv(x, p["conv"]["w"], p["conv"]["b"], stride)
+    x = _instance_norm(x, p["norm"]["scale"], p["norm"]["bias"], spec.norm_eps)
+    return _leaky(x, spec.leaky_slope)
+
+
+def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False):
+    """Forward pass.
+
+    Args:
+      params: pytree per the module docstring.
+      x: (B, D, H, W, C_in) channels-last input.
+      deep_supervision: if True, return a list of per-resolution logits
+        (highest resolution first, nnUNet ordering); else the full-res logits.
+    Returns:
+      (B, D, H, W, num_classes) logits, or a list of such at declining
+      resolutions.
+    """
+    skips = []
+    h = x
+    for s in range(spec.n_stages):
+        stage = params["encoder"]["stages"][s]
+        for ci, blk in enumerate(stage["convs"]):
+            stride = tuple(spec.strides[s]) if ci == 0 else (1, 1, 1)
+            h = _conv_block(h, blk, stride, spec)
+        skips.append(h)
+
+    seg_outputs = []
+    lres = skips[-1]
+    n_dec = spec.n_stages - 1
+    for d in range(n_dec):
+        tc = params["decoder"]["transpconvs"][d]
+        skip = skips[-(d + 2)]
+        up_stride = tuple(spec.strides[spec.n_stages - 1 - d])
+        h = _conv_transpose(lres, tc["w"], tc["b"], up_stride)
+        h = jnp.concatenate([h, skip], axis=-1)
+        stage = params["decoder"]["stages"][d]
+        for blk in stage["convs"]:
+            h = _conv_block(h, blk, (1, 1, 1), spec)
+        lres = h
+        if deep_supervision:
+            sl = params["decoder"]["seg_layers"][d]
+            seg_outputs.append(_conv(h, sl["w"], sl["b"]))
+    if deep_supervision:
+        # nnUNet returns highest resolution first
+        return seg_outputs[::-1]
+    sl = params["decoder"]["seg_layers"][n_dec - 1]
+    return _conv(lres, sl["w"], sl["b"])
+
+
+def init_unet_params(key, spec: ArchSpec, dtype=jnp.float32):
+    """He-initialized parameters (kaiming a=0.01, matching nnUNet's init)."""
+
+    def conv_init(k, shape):
+        fan_in = shape[0] * shape[1] * shape[2] * shape[3]
+        gain = jnp.sqrt(2.0 / (1 + spec.leaky_slope**2))
+        std = gain / jnp.sqrt(fan_in)
+        return std * jax.random.normal(k, shape, dtype)
+
+    keys = iter(jax.random.split(key, 4096))
+
+    def block(cin, cout, ksize):
+        return {
+            "conv": {
+                "w": conv_init(next(keys), (*ksize, cin, cout)),
+                "b": jnp.zeros((cout,), dtype),
+            },
+            "norm": {
+                "scale": jnp.ones((cout,), dtype),
+                "bias": jnp.zeros((cout,), dtype),
+            },
+        }
+
+    feats = spec.features_per_stage
+    enc_stages = []
+    cin = spec.num_input_channels
+    for s in range(spec.n_stages):
+        convs = []
+        for ci in range(spec.n_conv_per_stage_encoder[s]):
+            convs.append(block(cin if ci == 0 else feats[s], feats[s],
+                               spec.kernel_sizes[s]))
+            cin = feats[s]
+        enc_stages.append({"convs": convs})
+
+    transpconvs, dec_stages, seg_layers = [], [], []
+    n_dec = spec.n_stages - 1
+    for d in range(n_dec):
+        below = feats[spec.n_stages - 1 - d]      # features coming from below
+        here = feats[spec.n_stages - 2 - d]       # features at this skip level
+        up_stride = spec.strides[spec.n_stages - 1 - d]
+        transpconvs.append({
+            "w": conv_init(next(keys), (*up_stride, here, below)),
+            "b": jnp.zeros((here,), dtype),
+        })
+        convs = []
+        cin_d = 2 * here
+        for ci in range(spec.n_conv_per_stage_decoder[d]):
+            convs.append(block(cin_d if ci == 0 else here, here,
+                               spec.kernel_sizes[spec.n_stages - 2 - d]))
+        dec_stages.append({"convs": convs})
+        seg_layers.append({
+            "w": conv_init(next(keys), (1, 1, 1, here, spec.num_classes)),
+            "b": jnp.zeros((spec.num_classes,), dtype),
+        })
+
+    return {
+        "encoder": {"stages": enc_stages},
+        "decoder": {
+            "transpconvs": transpconvs,
+            "stages": dec_stages,
+            "seg_layers": seg_layers,
+        },
+    }
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,107 @@
+"""Random / center patch extraction from full volumes via affine resampling.
+
+Reference semantics: /root/reference/dg_tta/tta/torch_utils.py:13-76
+(`get_batch`): build a diagonal affine with scale = patch_size / volume_size
+and a uniform random translation keeping the patch inside the volume, then
+`grid_sample` (trilinear for the image with the volume's minimum as the
+padding value, nearest for labels).
+
+TPU twist: XLA needs static shapes, but volumes vary per sample.  Volumes are
+zero-padded (at the high end) to a bucket shape; the *true* shape enters the
+jitted program as a runtime array and is folded into the sampling affine, so
+one compiled program serves every volume in a bucket.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from dg_tta_tpu.core.grid import affine_grid, grid_sample
+
+
+def pad_to_bucket(vol, bucket_shape, pad_value=0.0):
+    """Pad a (D, H, W, C) volume at the high end to bucket_shape.
+
+    For IMAGE volumes pass pad_value=float(vol.min()): the reference treats
+    everything outside the volume as the volume minimum (torch_utils.py:58-62),
+    and min-padding the bucket band preserves that semantics exactly (and
+    keeps the padded volume's min equal to the true min).  Labels pad with 0.
+    """
+    D, H, W, C = vol.shape
+    bd, bh, bw = bucket_shape
+    assert bd >= D and bh >= H and bw >= W, (vol.shape, bucket_shape)
+    return jnp.pad(vol, ((0, bd - D), (0, bh - H), (0, bw - W), (0, 0)),
+                   constant_values=pad_value)
+
+
+def bucket_shape_for(shape, multiple: int = 32, min_size=None):
+    """Round a volume shape up to `multiple` (bounding compile count)."""
+    out = tuple(-(-int(s) // multiple) * multiple for s in shape)
+    if min_size is not None:
+        out = tuple(max(o, m) for o, m in zip(out, min_size))
+    return out
+
+
+def patch_affine(key, true_shape, patch_size, fixed: bool = False):
+    """Patch-sampling affine (1, 3, 4) in the *true-volume* normalized frame.
+
+    true_shape: (3,) float array (D, H, W) of the unpadded volume.
+    The grid convention is xyz-ordered, so scales are flipped to (W, H, D),
+    exactly as the reference flips them (torch_utils.py:28).
+    """
+    t_patch = jnp.asarray(patch_size, jnp.float32)
+    t_in = jnp.asarray(true_shape, jnp.float32)
+    scales = t_patch / t_in                      # (D, H, W) order
+    scales_xyz = scales[::-1]                    # (W, H, D) -> x, y, z
+
+    if fixed:
+        offset_xyz = jnp.zeros((3,), jnp.float32)
+    else:
+        rand = 2.0 * jax.random.uniform(key, (3,)) - 1.0   # (D,H,W) order
+        offset_range = jnp.clip((t_in - t_patch) / t_in, 0.0, None)
+        offset_xyz = (rand * offset_range)[::-1]
+
+    theta = jnp.concatenate(
+        [jnp.diag(scales_xyz), offset_xyz[:, None]], axis=1
+    )
+    return theta[None]
+
+
+def _compose_pad_correction(theta, true_shape, padded_shape):
+    """Map true-volume normalized coords into padded-volume normalized coords.
+
+    With align_corners=False, voxel i of axis size S sits at (2i+1)/S - 1;
+    padding at the high end means u_padded = a * t_true + (a - 1) with
+    a = S_true / S_padded, applied per xyz axis.
+    """
+    t_in = jnp.asarray(true_shape, jnp.float32)
+    t_pad = jnp.asarray(padded_shape, jnp.float32)
+    a_xyz = (t_in / t_pad)[::-1]
+    # compose: theta' = diag(a) @ theta + [a - 1] on the translation column
+    scale = a_xyz[None, :, None]
+    theta2 = theta * scale
+    theta2 = theta2.at[:, :, 3].add(a_xyz[None] - 1.0)
+    return theta2
+
+
+def extract_patch(vol_padded, true_shape, patch_size, key=None,
+                  fixed: bool = False, mode: str = "trilinear",
+                  pad_with_min: bool = True):
+    """Extract one patch from a padded (D, H, W, C) volume.
+
+    Returns (1, *patch_size, C).  For images, out-of-volume regions take the
+    volume minimum (the reference shifts by img.min() so zero-padding equals
+    min-padding, torch_utils.py:58-62).  Pass pad_with_min=False for labels /
+    one-hot channels (plain zero padding) and mode="nearest".
+    """
+    theta = patch_affine(key, true_shape, patch_size, fixed=fixed)
+    theta = _compose_pad_correction(theta, true_shape, vol_padded.shape[:3])
+    grid = affine_grid(theta, patch_size, align_corners=False)
+    vol = vol_padded[None]
+    if pad_with_min:
+        # mask by true extent so bucket padding doesn't pollute the minimum
+        vmin = jnp.min(vol)
+        patch = grid_sample(vol - vmin, grid, mode=mode, padding_mode="zeros",
+                            align_corners=False)
+        return patch + vmin
+    return grid_sample(vol, grid, mode=mode, padding_mode="zeros",
+                       align_corners=False)

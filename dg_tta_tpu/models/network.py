@@ -1,0 +1,100 @@
+"""Model bundle: architecture spec + input-pipeline flags per trainer family.
+
+Replaces the reference's trainer-injection + forward-pre-hook machinery
+(/root/reference/dg_tta/__build__.py, pretraining/nnUNetTrainer_*.py) with an
+explicit registry and functional composition: a trainer name declares whether
+GIN runs as an *internal* augmentation (pretraining only, gated off at TTA,
+mirroring the DG_TTA_INTERNAL_AUGMENTATION env gate) and whether the MIND
+descriptor is a permanent part of the model's input transform (active at TTA
+and inference, mirroring the unconditional mind_hook, mind.py:167-168).
+"""
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dg_tta_tpu.models.plans import (
+    ArchSpec,
+    arch_spec_from_plans,
+    num_classes_from_dataset_json,
+    patch_size_from_plans,
+)
+from dg_tta_tpu.models.unet import unet_apply, init_unet_params
+from dg_tta_tpu.ops.gin import gin_aug
+from dg_tta_tpu.ops.mind import mind3d, MIND_OUT_CHANNELS
+
+# trainer name -> (internal GIN at pretraining, MIND descriptor always)
+TRAINER_REGISTRY = {
+    "nnUNetTrainer": (False, False),
+    "nnUNetTrainer_GIN": (True, False),
+    "nnUNetTrainer_MIND": (False, True),
+    "nnUNetTrainer_GIN_MIND": (True, True),
+    "nnUNetTrainer_GIN_MultiRes": (True, False),
+    "nnUNetTrainer_MIND_MultiRes": (False, True),
+    "nnUNetTrainer_GIN_MIND_MultiRes": (True, True),
+}
+
+MULTIRES_TRAINERS = {t for t in TRAINER_REGISTRY if t.endswith("_MultiRes")}
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """Static model description; apply() is pure and jit-friendly."""
+
+    spec: ArchSpec
+    patch_size: Tuple[int, int, int]
+    trainer_name: str
+    uses_gin_internal: bool
+    uses_mind: bool
+    mind_noise_scale: float = 0.05  # reference keeps noise on at inference
+
+    def apply(self, params, x, key=None, deep_supervision: bool = False,
+              internal_aug: bool = False):
+        """Forward pass including the trainer's input transforms.
+
+        Args:
+          x: (B, D, H, W, C_img) channels-last image.
+          key: PRNG key; required when internal_aug (GIN) or MIND noise runs.
+          internal_aug: True during DG pretraining (GIN active); False at
+            TTA/inference -- the reference's env-var gate.
+        """
+        k_gin = k_mind = None
+        if key is not None:
+            k_gin, k_mind = jax.random.split(key)
+        if internal_aug and self.uses_gin_internal:
+            assert k_gin is not None, "GIN internal augmentation needs a key"
+            x = gin_aug(k_gin, x)
+        if self.uses_mind:
+            x = mind3d(x, key=k_mind, noise_scale=self.mind_noise_scale)
+        return unet_apply(params, x, self.spec,
+                          deep_supervision=deep_supervision)
+
+    def init_params(self, key, dtype=jnp.float32):
+        return init_unet_params(key, self.spec, dtype)
+
+
+def build_model(plans: dict, dataset_json: dict, trainer_name: str,
+                configuration: str = "3d_fullres",
+                mind_noise_scale: float = 0.05) -> Model:
+    """Build the Model for a trainer/plans/dataset triple (the TPU analog of
+    nnUNet's get_network_from_plans call in the reference trainers)."""
+    gin_flag, mind_flag = TRAINER_REGISTRY[trainer_name]
+    num_classes = num_classes_from_dataset_json(dataset_json)
+    n_img_channels = len(dataset_json.get("channel_names",
+                                          dataset_json.get("modality", {"0": "CT"})))
+    in_ch = MIND_OUT_CHANNELS if mind_flag else n_img_channels
+    spec = arch_spec_from_plans(
+        plans, configuration,
+        num_input_channels=in_ch,
+        num_classes=num_classes,
+    )
+    return Model(
+        spec=spec,
+        patch_size=tuple(patch_size_from_plans(plans, configuration)),
+        trainer_name=trainer_name,
+        uses_gin_internal=gin_flag,
+        uses_mind=mind_flag,
+        mind_noise_scale=mind_noise_scale,
+    )

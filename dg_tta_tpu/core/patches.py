@@ -83,6 +83,58 @@ def _compose_pad_correction(theta, true_shape, padded_shape):
     return theta2
 
 
+def sample_with_affine(vol_padded, true_shape, theta, patch_size,
+                       mode: str = "trilinear", pad_with_min: bool = True):
+    """Sample one patch given a precomputed true-frame affine (1, 3, 4)."""
+    theta = _compose_pad_correction(theta, true_shape, vol_padded.shape[:3])
+    grid = affine_grid(theta, patch_size, align_corners=False)
+    vol = vol_padded[None]
+    if pad_with_min:
+        vmin = jnp.min(vol)
+        patch = grid_sample(vol - vmin, grid, mode=mode, padding_mode="zeros",
+                            align_corners=False)
+        return patch + vmin
+    return grid_sample(vol, grid, mode=mode, padding_mode="zeros",
+                       align_corners=False)
+
+
+def extract_batch(key, vols_padded, true_shapes, patch_size, batch_size: int,
+                  labels_padded=None, fixed: bool = False):
+    """Sample a batch of patches from a stack of bucketed volumes.
+
+    The reference's `get_batch` (torch_utils.py:13-76): draw `batch_size`
+    volume indices with replacement, then one patch per draw; image and label
+    share the SAME sampling affine (image trilinear/min-padded, label
+    nearest/zero-padded).
+
+    Args:
+      vols_padded: (N, D, H, W, C) bucket-padded volumes.
+      true_shapes: (N, 3) float true (D, H, W) per volume.
+      labels_padded: optional (N, D, H, W, 1) label volumes.
+    Returns:
+      imgs (B, *patch_size, C) and labels (B, *patch_size, 1) or None.
+    """
+    n = vols_padded.shape[0]
+    k_idx, k_patch = jax.random.split(key)
+    idxs = jax.random.randint(k_idx, (batch_size,), 0, n)
+    keys = jax.random.split(k_patch, batch_size)
+
+    def one(i, k):
+        theta = patch_affine(k, true_shapes[i], patch_size, fixed=fixed)
+        img = sample_with_affine(vols_padded[i], true_shapes[i], theta,
+                                 patch_size, mode="trilinear",
+                                 pad_with_min=True)[0]
+        if labels_padded is None:
+            return img, jnp.zeros((), jnp.float32)
+        lab = sample_with_affine(labels_padded[i], true_shapes[i], theta,
+                                 patch_size, mode="nearest",
+                                 pad_with_min=False)[0]
+        return img, lab
+
+    imgs, labs = jax.vmap(one)(idxs, keys)
+    return (imgs, labs) if labels_padded is not None else (imgs, None)
+
+
 def extract_patch(vol_padded, true_shape, patch_size, key=None,
                   fixed: bool = False, mode: str = "trilinear",
                   pad_with_min: bool = True):
@@ -94,14 +146,5 @@ def extract_patch(vol_padded, true_shape, patch_size, key=None,
     one-hot channels (plain zero padding) and mode="nearest".
     """
     theta = patch_affine(key, true_shape, patch_size, fixed=fixed)
-    theta = _compose_pad_correction(theta, true_shape, vol_padded.shape[:3])
-    grid = affine_grid(theta, patch_size, align_corners=False)
-    vol = vol_padded[None]
-    if pad_with_min:
-        # mask by true extent so bucket padding doesn't pollute the minimum
-        vmin = jnp.min(vol)
-        patch = grid_sample(vol - vmin, grid, mode=mode, padding_mode="zeros",
-                            align_corners=False)
-        return patch + vmin
-    return grid_sample(vol, grid, mode=mode, padding_mode="zeros",
-                       align_corners=False)
+    return sample_with_affine(vol_padded, true_shape, theta, patch_size,
+                              mode=mode, pad_with_min=pad_with_min)

@@ -1,0 +1,281 @@
+"""The TTA adaptation engine: one fused jitted epoch per optimizer step.
+
+Reference semantics: /root/reference/dg_tta/tta/tta.py:157-374 (driver loop)
+and tta.py:480-579 (`calc_branch`).  Re-designed for XLA:
+
+* One EPOCH is one compiled program: a `lax.scan` over
+  `patches_to_be_accumulated` patch draws, each computing the two-branch
+  consistency loss and its gradient, accumulated and applied once via a
+  parameter-masked AdamW — instead of 16 eager backward() calls.
+* The `ensemble_count` independent adaptation runs of a volume are `vmap`-ed
+  into one program (they differ only in their PRNG streams), turning the
+  reference's serial ensemble loop into batched device work.
+* Patch extraction happens inside the program from bucket-padded volumes
+  resident in HBM; no host transfers inside the adaptation loop.
+
+Reference quirks preserved (documented):
+* `have_grad_in` gates on the CONFIG value only, never the branch id
+  (tta.py:496-498): "branch_a" and "both" put gradients in BOTH branches;
+  "branch_b" disables gradients everywhere (adaptation becomes a no-op).
+* The inverse warp pads with zeros while the forward warp pads with border
+  values (tta.py:549-551 vs :573-575); the zero band defines the
+  common-content mask of the loss (tta.py:262-265).
+* MIND's descriptor noise stays active during TTA and eval (mind.py:150-152).
+* Epochs before `start_tta_at_epoch` compute/log the loss but do not update
+  (tta.py:274-279).
+"""
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dg_tta_tpu.core.fields import get_disp_field, get_rand_affine
+from dg_tta_tpu.core.grid import affine_grid, grid_sample, identity_grid
+from dg_tta_tpu.core.labels import map_label_argmaxed, map_label_logits
+from dg_tta_tpu.core.losses import consistency_loss, dice_coeff
+from dg_tta_tpu.core.patches import extract_batch
+from dg_tta_tpu.models.network import Model
+from dg_tta_tpu.tta.plan import TTAPlan
+
+
+def _in_branch(setting: str, branch_id: str) -> bool:
+    return setting in (branch_id, "both")
+
+
+def params_with_grad_mask(params, mode: str):
+    """Trainability mask replicating fix_all/release_{all,norms}/encoder
+    (torch_utils.py:120-137, applied at tta.py:203-212)."""
+    assert mode in ("all", "norms", "encoder")
+    if mode == "all":
+        return jax.tree.map(lambda _: True, params)
+
+    def label_leaf(path, _):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if mode == "norms":
+            return "norm" in keys
+        return keys[0] == "encoder"
+
+    return jax.tree_util.tree_map_with_path(label_leaf, params)
+
+
+def make_optimizer(plan: TTAPlan, params):
+    """AdamW with torch defaults (betas 0.9/0.999, eps 1e-8, wd 0.01 —
+    tta.py:185 uses torch.optim.AdamW defaults), applied only to the released
+    parameter subset; frozen leaves receive a hard zero update."""
+    mask = params_with_grad_mask(params, plan.params_with_grad)
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    tx = optax.multi_transform(
+        {
+            "train": optax.adamw(plan.lr, b1=0.9, b2=0.999, eps=1e-8,
+                                 weight_decay=0.01),
+            "freeze": optax.set_to_zero(),
+        },
+        labels,
+    )
+    return tx
+
+
+@dataclasses.dataclass(frozen=True)
+class TTAFunctions:
+    """Jitted entry points for one (model, plan, bucket-shape) combination."""
+
+    init_opt_state: Callable
+    epoch_train: Callable  # (params, opt, key, vols, shapes) -> (params, opt, loss)
+    epoch_fwd: Callable    # (params, key, vols, shapes) -> loss
+    eval_step: Callable    # (params, key, vols, shapes, labels) -> dice
+    grads_enabled: bool
+
+
+def make_tta_functions(
+    model: Model,
+    plan: TTAPlan,
+    map_idxs_pretrain,
+    map_idxs_tta,
+    modify_input_fn: Optional[Callable] = None,
+    modify_output_fn: Optional[Callable] = None,
+    num_tta_classes: Optional[int] = None,
+) -> TTAFunctions:
+    """Build the jitted TTA step functions.
+
+    Args:
+      map_idxs_pretrain: (C_opt,) channel gather indices model->optimized.
+      map_idxs_tta: (C_opt,) value rewrite indices tta-GT->optimized.
+      modify_input_fn / modify_output_fn: the user "modifier functions"
+        (config_log_utils.py:44-69) as plain callables; input runs after the
+        branch augmentation, before the model (hook order, model_utils.py:21-33),
+        output runs after label mapping (tta.py:566).
+    """
+    patch_size = model.patch_size
+    B = plan.batch_size
+    n_acc = plan.patches_to_be_accumulated
+    map_pre = jnp.asarray(map_idxs_pretrain)
+    map_tta = jnp.asarray(map_idxs_tta)
+    n_opt = int(map_pre.shape[0])
+    intensity_on = plan.intensity_aug_function == "GIN"
+    grads_enabled = plan.have_grad_in in ("branch_a", "both")
+    ident = identity_grid(patch_size, align_corners=False)
+
+    def branch(params, key, imgs, branch_id):
+        k_int, k_sp, k_model = jax.random.split(key, 3)
+        x = imgs
+        if intensity_on and _in_branch(plan.do_intensity_aug_in, branch_id):
+            from dg_tta_tpu.ops.gin import gin_aug
+            x = gin_aug(k_int, x)
+
+        spatial = _in_branch(plan.do_spatial_aug_in, branch_id)
+        if spatial:
+            if plan.spatial_aug_type == "affine":
+                theta, theta_inv = get_rand_affine(k_sp, B)
+                grid = affine_grid(theta, patch_size, align_corners=False)
+                grid_inv = affine_grid(theta_inv, patch_size,
+                                       align_corners=False)
+            else:
+                disp, disp_inv = get_disp_field(
+                    k_sp, B, patch_size, factor=0.5, interpolation_factor=5)
+                grid = ident[None] + disp
+                grid_inv = ident[None] + disp_inv
+            x = grid_sample(x, grid, padding_mode="border",
+                            align_corners=False)
+
+        if modify_input_fn is not None:
+            x = modify_input_fn(x)
+        logits = model.apply(params, x, key=k_model)
+        logits = map_label_logits(logits, map_pre)
+        if modify_output_fn is not None:
+            logits = modify_output_fn(logits)
+        if spatial:
+            logits = grid_sample(logits, grid_inv, padding_mode="zeros",
+                                 align_corners=False)
+        return logits
+
+    def patch_loss(params, key, imgs):
+        ka, kb = jax.random.split(key)
+        la = branch(params, ka, imgs, "branch_a")
+        lb = branch(params, kb, imgs, "branch_b")
+        return consistency_loss(la, lb, start_class=1)
+
+    def draw_and_loss(params, key, vols, shapes):
+        k_patch, k_aug = jax.random.split(key)
+        imgs, _ = extract_batch(k_patch, vols, shapes, patch_size, B)
+        return patch_loss(params, k_aug, imgs)
+
+    grad_fn = jax.value_and_grad(draw_and_loss)
+
+    def epoch_train(params, opt_state, key, vols, shapes):
+        def body(carry, k):
+            g_acc, l_acc = carry
+            loss, grads = grad_fn(params, k, vols, shapes)
+            g_acc = jax.tree.map(jnp.add, g_acc, grads)
+            return (g_acc, l_acc + loss), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (grads, loss_sum), _ = jax.lax.scan(
+            body, (zeros, 0.0), jax.random.split(key, n_acc))
+        grads = jax.tree.map(lambda g: g / n_acc, grads)
+        tx = make_optimizer(plan, params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_sum / n_acc
+
+    def epoch_fwd(params, key, vols, shapes):
+        def body(l_acc, k):
+            return l_acc + draw_and_loss(params, k, vols, shapes), None
+
+        loss_sum, _ = jax.lax.scan(body, 0.0, jax.random.split(key, n_acc))
+        return loss_sum / n_acc
+
+    def eval_step(params, key, vols, shapes, labels):
+        """Center-patch pseudo-Dice vs GT (tta.py:283-338)."""
+        k_patch, k_model = jax.random.split(key)
+        imgs, labs = extract_batch(k_patch, vols, shapes, patch_size, B,
+                                   labels_padded=labels, fixed=True)
+        if modify_input_fn is not None:
+            imgs = modify_input_fn(imgs)
+        logits = model.apply(params, imgs, key=k_model)
+        logits = map_label_logits(logits, map_pre)
+        if modify_output_fn is not None:
+            logits = modify_output_fn(logits)
+        pred = jnp.argmax(logits, axis=-1)
+        gt = map_label_argmaxed(labs[..., 0].astype(jnp.int32), map_tta)
+        d = dice_coeff(pred, gt, n_opt)
+        return jnp.nanmean(d)
+
+    def init_opt_state(params):
+        return make_optimizer(plan, params).init(params)
+
+    return TTAFunctions(
+        init_opt_state=init_opt_state,
+        epoch_train=jax.jit(epoch_train, donate_argnums=(0, 1)),
+        epoch_fwd=jax.jit(epoch_fwd),
+        eval_step=jax.jit(eval_step),
+        grads_enabled=grads_enabled,
+    )
+
+
+def tta_one_volume(
+    model: Model,
+    plan: TTAPlan,
+    pretrained_params,
+    vols_padded,
+    true_shapes,
+    map_idxs_pretrain,
+    map_idxs_tta,
+    key,
+    labels_padded=None,
+    modify_input_fn: Optional[Callable] = None,
+    modify_output_fn: Optional[Callable] = None,
+    log_fn: Optional[Callable] = None,
+) -> Tuple[Any, Any, Any]:
+    """Adapt `ensemble_count` parameter sets on one volume (or, with
+    tta_across_all_samples, on a stack of volumes).
+
+    The reference runs the ensemble loop serially (tta.py:165); here the
+    members share every compiled program and run vmapped — they differ only
+    by PRNG stream, exactly like the reference's ensembles differ only by
+    torch RNG state.
+
+    Returns:
+      (stacked adapted params with leading ensemble axis,
+       losses (epochs, E), eval dices (epochs, E)).
+    """
+    E = plan.ensemble_count
+    fns = make_tta_functions(
+        model, plan, map_idxs_pretrain, map_idxs_tta,
+        modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn)
+
+    params = jax.tree.map(
+        lambda p: jnp.broadcast_to(p[None], (E, *p.shape)), pretrained_params)
+    opt_state = jax.vmap(fns.init_opt_state)(params)
+
+    train_v = jax.jit(
+        jax.vmap(fns.epoch_train.__wrapped__, in_axes=(0, 0, 0, None, None)),
+        donate_argnums=(0, 1))
+    fwd_v = jax.jit(
+        jax.vmap(fns.epoch_fwd.__wrapped__, in_axes=(0, 0, None, None)))
+    eval_v = jax.jit(
+        jax.vmap(fns.eval_step.__wrapped__,
+                 in_axes=(0, 0, None, None, None)))
+
+    losses, dices = [], []
+    for epoch in range(plan.epochs):
+        key, k_ep, k_ev = jax.random.split(key, 3)
+        ks = jax.random.split(k_ep, E)
+        if fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
+            params, opt_state, loss = train_v(params, opt_state, ks,
+                                              vols_padded, true_shapes)
+        else:
+            loss = fwd_v(params, ks, vols_padded, true_shapes)
+        if labels_padded is not None:
+            dice = eval_v(params, jax.random.split(k_ev, E), vols_padded,
+                          true_shapes, labels_padded)
+        else:
+            dice = jnp.full((E,), jnp.nan)
+        losses.append(loss)
+        dices.append(dice)
+        if log_fn is not None:
+            log_fn(epoch, jax.device_get(loss), jax.device_get(dice))
+
+    return params, jnp.stack(losses), jnp.stack(dices)

@@ -1,0 +1,138 @@
+"""TTA engine behavior tests on a tiny model (CPU backend).
+
+Covers the reference's driver-loop semantics (tta.py:157-374): gradient
+accumulation + masked release, the have_grad_in config quirk, warmup epochs,
+and that adaptation actually reduces the consistency loss.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dg_tta_tpu.models.network import Model
+from dg_tta_tpu.models.plans import ArchSpec
+from dg_tta_tpu.tta.engine import (
+    make_tta_functions,
+    params_with_grad_mask,
+    tta_one_volume,
+)
+from dg_tta_tpu.tta.plan import TTAPlan
+
+
+def tiny_model(num_classes=4, in_ch=1):
+    spec = ArchSpec(
+        features_per_stage=(8, 16),
+        kernel_sizes=((3, 3, 3), (3, 3, 3)),
+        strides=((1, 1, 1), (2, 2, 2)),
+        n_conv_per_stage_encoder=(1, 1),
+        n_conv_per_stage_decoder=(1,),
+        num_input_channels=in_ch,
+        num_classes=num_classes,
+    )
+    return Model(spec=spec, patch_size=(16, 16, 16), trainer_name="nnUNetTrainer_GIN",
+                 uses_gin_internal=True, uses_mind=False)
+
+
+def synth_volume(rng, shape=(24, 28, 20)):
+    """A volume with a bright blob so the consistency task is non-trivial."""
+    vol = rng.normal(size=(*shape, 1)).astype(np.float32) * 0.1
+    d, h, w = shape
+    vol[d // 4: d // 2, h // 4: h // 2, w // 4: w // 2] += 2.0
+    return jnp.asarray(vol)
+
+
+IDX3 = np.arange(3, dtype=np.int32)
+
+
+def _run(plan, epochs_params=None, seed=0, labels=None):
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed)
+    vol = synth_volume(rng)
+    vols = vol[None]
+    shapes = jnp.asarray([[24.0, 28.0, 20.0]])
+    out = tta_one_volume(
+        m, plan, params, vols, shapes, IDX3, IDX3,
+        jax.random.PRNGKey(seed + 1), labels_padded=labels)
+    return params, out
+
+
+def test_loss_decreases_and_params_adapt():
+    plan = TTAPlan(epochs=6, patches_to_be_accumulated=4, lr=1e-3,
+                   ensemble_count=2)
+    params0, (params, losses, dices) = _run(plan)
+    assert losses.shape == (6, 2)
+    # warmup epoch 0 computes a loss; adaptation should reduce it
+    assert float(losses[1:].mean(-1).min()) < float(losses[0].mean())
+    # ensembles diverge (different PRNG streams)
+    leaf = jax.tree.leaves(params)[0]
+    assert not np.allclose(np.asarray(leaf[0]), np.asarray(leaf[1]))
+
+
+def test_have_grad_in_branch_b_is_noop():
+    plan = TTAPlan(epochs=2, patches_to_be_accumulated=2, lr=1e-2,
+                   ensemble_count=1, have_grad_in="branch_b")
+    params0, (params, losses, _) = _run(plan)
+    for p0, p in zip(jax.tree.leaves(params0), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p[0]))
+
+
+def test_warmup_epoch_does_not_update():
+    plan = TTAPlan(epochs=1, patches_to_be_accumulated=2, lr=1e-2,
+                   ensemble_count=1, start_tta_at_epoch=1)
+    params0, (params, losses, _) = _run(plan)
+    for p0, p in zip(jax.tree.leaves(params0), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p[0]))
+
+
+def test_params_with_grad_masking():
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+
+    mask = params_with_grad_mask(params, "norms")
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, v in flat:
+        keys = [p.key for p in path if hasattr(p, "key")]
+        assert v == ("norm" in keys)
+
+    mask = params_with_grad_mask(params, "encoder")
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    for path, v in flat:
+        keys = [p.key for p in path if hasattr(p, "key")]
+        assert v == (keys[0] == "encoder")
+
+
+def test_norms_only_updates_norm_params():
+    plan = TTAPlan(epochs=3, patches_to_be_accumulated=2, lr=1e-2,
+                   ensemble_count=1, params_with_grad="norms")
+    params0, (params, _, _) = _run(plan)
+    flat0 = jax.tree_util.tree_flatten_with_path(params0)[0]
+    flat1 = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(lambda p: p[0], params))[0]
+    changed_any_norm = False
+    for (path, p0), (_, p1) in zip(flat0, flat1):
+        keys = [p.key for p in path if hasattr(p, "key")]
+        if "norm" in keys:
+            changed_any_norm |= not np.allclose(np.asarray(p0), np.asarray(p1))
+        else:
+            np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    assert changed_any_norm
+
+
+def test_eval_dice_with_labels():
+    plan = TTAPlan(epochs=2, patches_to_be_accumulated=2, lr=1e-3,
+                   ensemble_count=1)
+    rng = np.random.default_rng(3)
+    lab = (rng.integers(0, 3, size=(24, 28, 20, 1))).astype(np.float32)
+    _, (params, losses, dices) = _run(plan, labels=jnp.asarray(lab)[None])
+    d = np.asarray(dices)
+    assert d.shape == (2, 1)
+    assert np.all(np.isfinite(d)) and np.all(d >= 0.0) and np.all(d <= 1.0)
+
+
+def test_deformable_spatial_aug_path():
+    plan = TTAPlan(epochs=2, patches_to_be_accumulated=2, lr=1e-3,
+                   ensemble_count=1, spatial_aug_type="deformable")
+    _, (params, losses, _) = _run(plan)
+    assert np.all(np.isfinite(np.asarray(losses)))

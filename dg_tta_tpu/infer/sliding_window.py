@@ -1,0 +1,158 @@
+"""Sliding-window inference as one jitted XLA program.
+
+Re-implements the predictor surface the reference delegates to nnUNet
+(nnUNetPredictor.predict_logits_from_preprocessed_data, used at
+/root/reference/dg_tta/tta/nnunet_utils.py:116-230): a 0.5-overlap patch
+grid, Gaussian importance weighting, logit accumulation, and averaging over
+an ensemble of parameter sets (the 3 TTA-adapted param files,
+nnunet_utils.py:120-123).  Mirroring-TTA is intentionally absent — the DG
+trainers disable it (nnUNetTrainer_GIN.py:34-35).
+
+TPU design: window origins are precomputed host-side, padded to a fixed
+count, and scanned inside the compiled program with read-modify-write
+dynamic slices; the ensemble dimension is vmapped so the E forwards of one
+window batch into a single device program.  One compilation serves every
+volume sharing a bucket shape and origin-count bucket.
+"""
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+
+def compute_gaussian(patch_size, sigma_scale: float = 1.0 / 8,
+                     value_scaling_factor: float = 10.0) -> np.ndarray:
+    """Gaussian importance map, nnUNet semantics: unit impulse at the patch
+    center, blurred with sigma = patch_size * sigma_scale, peak-normalized,
+    scaled, and floored to its smallest nonzero value."""
+    tmp = np.zeros(patch_size, dtype=np.float32)
+    center = tuple(s // 2 for s in patch_size)
+    tmp[center] = 1.0
+    g = gaussian_filter(tmp, sigma=[s * sigma_scale for s in patch_size])
+    g = g / g.max() * value_scaling_factor
+    g = g.astype(np.float32)
+    nonzero_min = g[g > 0].min()
+    g[g == 0] = nonzero_min
+    return g
+
+
+def compute_steps_for_sliding_window(image_size, patch_size,
+                                     step_fraction: float = 0.5):
+    """Per-axis window start positions, nnUNet semantics: cover [0, I-k] with
+    ceil((I-k)/(k*f))+1 evenly spread, rounded starts."""
+    steps = []
+    for i, k in zip(image_size, patch_size):
+        assert i >= k, (image_size, patch_size)
+        if i == k:
+            steps.append([0])
+            continue
+        target = k * step_fraction
+        num = int(math.ceil((i - k) / target)) + 1
+        actual = (i - k) / (num - 1)
+        steps.append([int(round(actual * j)) for j in range(num)])
+    return steps
+
+
+def window_origins(image_size, patch_size, step_fraction: float = 0.5,
+                   pad_multiple: int = 8):
+    """All (z, y, x) window origins plus a validity mask, padded to a
+    multiple of `pad_multiple` so origin count buckets compilations."""
+    steps = compute_steps_for_sliding_window(image_size, patch_size,
+                                             step_fraction)
+    origins = np.array([(z, y, x) for z in steps[0] for y in steps[1]
+                        for x in steps[2]], dtype=np.int32)
+    n = origins.shape[0]
+    n_pad = -(-n // pad_multiple) * pad_multiple
+    valid = np.zeros((n_pad,), np.float32)
+    valid[:n] = 1.0
+    origins = np.concatenate(
+        [origins, np.zeros((n_pad - n, 3), np.int32)], axis=0)
+    return origins, valid
+
+
+def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
+                                  dtype=jnp.float32):
+    """Build the jitted accumulation program.
+
+    Returns fn(params_stacked, vol_padded, origins, valid) -> (D, H, W, C)
+    Gaussian-normalized mean logits, where params_stacked has a leading
+    ensemble axis and vol_padded is (D, H, W, C_in) already covered by the
+    origin grid.
+    """
+    patch_size = model.patch_size
+    gauss = jnp.asarray(compute_gaussian(patch_size))[..., None]
+    n_out = num_out_channels or model.spec.num_classes
+
+    @partial(jax.jit, static_argnames=())
+    def predict(params_stacked, vol_padded, origins, valid, key):
+        D, H, W, _ = vol_padded.shape
+        acc = jnp.zeros((D, H, W, n_out), dtype)
+        wacc = jnp.zeros((D, H, W, 1), dtype)
+
+        def fwd(params, patch, k):
+            return model.apply(params, patch[None], key=k)[0]
+
+        def body(carry, inp):
+            acc, wacc = carry
+            origin, v, k = inp
+            z, y, x = origin[0], origin[1], origin[2]
+            patch = jax.lax.dynamic_slice(
+                vol_padded, (z, y, x, 0),
+                (*patch_size, vol_padded.shape[3]))
+            E = jax.tree.leaves(params_stacked)[0].shape[0]
+            logits = jax.vmap(fwd, in_axes=(0, None, 0))(
+                params_stacked, patch, jax.random.split(k, E))
+            logits = jnp.mean(logits, axis=0) * gauss * v
+            upd = jax.lax.dynamic_slice(acc, (z, y, x, 0),
+                                        (*patch_size, n_out)) + logits
+            acc = jax.lax.dynamic_update_slice(acc, upd, (z, y, x, 0))
+            wupd = jax.lax.dynamic_slice(wacc, (z, y, x, 0),
+                                         (*patch_size, 1)) + gauss * v
+            wacc = jax.lax.dynamic_update_slice(wacc, wupd, (z, y, x, 0))
+            return (acc, wacc), None
+
+        n = origins.shape[0]
+        keys = jax.random.split(key, n)
+        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc),
+                                      (origins, valid, keys))
+        # No epsilon: every voxel is covered by >=1 valid window whose floored
+        # Gaussian weight is > 0 (corner weights are ~1e-11 — an epsilon
+        # clamp would corrupt exactly those voxels).
+        return acc / wacc
+
+    return predict
+
+
+def predict_volume(model, params_stacked, vol, key=None,
+                   step_fraction: float = 0.5, predictor=None):
+    """Convenience wrapper: pad `vol` (D, H, W, C) to cover the window grid,
+    run the jitted predictor, crop back.  Returns (D, H, W, C_out) logits.
+
+    nnUNet pads symmetrically when the volume is smaller than the patch
+    (predict_logits path via pad_nd_image); we pad at both ends with the
+    volume minimum for images.
+    """
+    D, H, W, _ = vol.shape
+    patch = model.patch_size
+    pads = []
+    for s, k in zip((D, H, W), patch):
+        extra = max(0, k - s)
+        pads.append((extra // 2, extra - extra // 2))
+    pads.append((0, 0))
+    vmin = float(jnp.min(vol))
+    volp = jnp.pad(vol, pads, constant_values=vmin)
+    origins, valid = window_origins(volp.shape[:3], patch, step_fraction)
+    if predictor is None:
+        predictor = make_sliding_window_predictor(model)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    logits = predictor(params_stacked, volp, jnp.asarray(origins),
+                       jnp.asarray(valid), key)
+    return logits[pads[0][0]: pads[0][0] + D,
+                  pads[1][0]: pads[1][0] + H,
+                  pads[2][0]: pads[2][0] + W]

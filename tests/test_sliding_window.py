@@ -1,0 +1,89 @@
+"""Sliding-window inference tests vs a slow numpy oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dg_tta_tpu.infer.sliding_window import (
+    compute_gaussian,
+    compute_steps_for_sliding_window,
+    make_sliding_window_predictor,
+    predict_volume,
+    window_origins,
+)
+from tests.test_tta_engine import tiny_model
+
+
+def test_gaussian_properties():
+    g = compute_gaussian((16, 16, 16))
+    assert g.shape == (16, 16, 16)
+    assert np.isclose(g.max(), 10.0)
+    assert g.argmax() == np.ravel_multi_index((8, 8, 8), g.shape)
+    assert (g > 0).all()
+
+
+def test_steps_cover_and_overlap():
+    steps = compute_steps_for_sliding_window((40, 16, 33), (16, 16, 16))
+    # first at 0, last flush with the end, overlap >= 50%
+    for st, size in zip(steps, (40, 16, 33)):
+        assert st[0] == 0 and st[-1] == size - 16
+        assert all(b - a <= 8 for a, b in zip(st, st[1:]))
+
+
+def test_equals_direct_forward_when_single_window():
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    vol = jnp.asarray(
+        np.random.default_rng(0).normal(size=(16, 16, 16, 1)).astype(np.float32))
+    stacked = jax.tree.map(lambda p: p[None], params)
+    logits = predict_volume(m, stacked, vol)
+    direct = m.apply(params, vol[None])[0]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(direct),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_matches_numpy_accumulation_oracle():
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray(rng.normal(size=(24, 16, 20, 1)).astype(np.float32))
+    stacked = jax.tree.map(lambda p: p[None], params)
+    logits = predict_volume(m, stacked, vol)
+
+    g = compute_gaussian((16, 16, 16))[..., None]
+    acc = np.zeros((24, 16, 20, 4), np.float32)
+    wacc = np.zeros((24, 16, 20, 1), np.float32)
+    origins, valid = window_origins((24, 16, 20), (16, 16, 16))
+    for (z, y, x), v in zip(origins, valid):
+        if not v:
+            continue
+        patch = vol[z:z + 16, y:y + 16, x:x + 16]
+        out = np.asarray(m.apply(params, patch[None])[0])
+        acc[z:z + 16, y:y + 16, x:x + 16] += out * g
+        wacc[z:z + 16, y:y + 16, x:x + 16] += g
+    oracle = acc / wacc
+    np.testing.assert_allclose(np.asarray(logits), oracle, atol=1e-3, rtol=1e-3)
+
+
+def test_ensemble_averaging():
+    m = tiny_model()
+    p1 = m.init_params(jax.random.PRNGKey(2))
+    p2 = m.init_params(jax.random.PRNGKey(3))
+    vol = jnp.asarray(
+        np.random.default_rng(2).normal(size=(16, 16, 16, 1)).astype(np.float32))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
+    logits = predict_volume(m, stacked, vol)
+    mean_direct = 0.5 * (m.apply(p1, vol[None])[0] + m.apply(p2, vol[None])[0])
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(mean_direct),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_small_volume_padded():
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(4))
+    vol = jnp.asarray(
+        np.random.default_rng(4).normal(size=(10, 12, 9, 1)).astype(np.float32))
+    stacked = jax.tree.map(lambda p: p[None], params)
+    logits = predict_volume(m, stacked, vol)
+    assert logits.shape == (10, 12, 9, 4)
+    assert np.all(np.isfinite(np.asarray(logits)))

@@ -1,0 +1,147 @@
+"""Minimal native NIfTI-1 IO (.nii / .nii.gz).
+
+The reference reads/writes via nnUNet's SimpleITKIO
+(/root/reference/dg_tta/tta/tta.py:21,141,413,440-447); neither SimpleITK nor
+nibabel ship in this image, so this is a from-scratch NIfTI-1 codec covering
+what the pipeline needs: scalar 3D (or 4D multi-channel) volumes, voxel
+spacing, and geometry (sform affine) preserved through a read→write
+roundtrip.
+
+Array convention: volumes are returned (C, D, H, W) with D=z slowest — the
+same array order nnUNet sees from SimpleITK's GetArrayFromImage — and
+`props["spacing"]` is (z, y, x), matching nnUNet's props contract.
+"""
+
+import gzip
+import struct
+from pathlib import Path
+
+import numpy as np
+
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+}
+_DTYPE_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+HDR_SIZE = 348
+
+
+def _open(path, mode="rb"):
+    path = str(path)
+    if path.endswith(".gz"):
+        return gzip.open(path, mode)
+    return open(path, mode)
+
+
+def read_nifti(path):
+    """Read a NIfTI-1 file.
+
+    Returns:
+      data: (C, D, H, W) float32 array (C=1 for scalar images; a 4th NIfTI
+        dim becomes the channel axis).
+      props: dict with "spacing" (z, y, x), "affine" (4, 4) from the sform
+        (or a spacing-diagonal fallback), "original_dtype".
+    """
+    with _open(path) as f:
+        raw = f.read()
+    hdr = raw[:HDR_SIZE]
+    sizeof_hdr = struct.unpack_from("<i", hdr, 0)[0]
+    if sizeof_hdr != HDR_SIZE:
+        raise ValueError(f"Not a little-endian NIfTI-1 file: {path}")
+    magic = hdr[344:348]
+    if magic[:2] not in (b"n+", b"ni"):
+        raise ValueError(f"Bad NIfTI magic {magic!r}: {path}")
+
+    dim = struct.unpack_from("<8h", hdr, 40)
+    ndim = dim[0]
+    shape_xyz = [max(1, d) for d in dim[1: 1 + max(3, ndim)]]
+    datatype = struct.unpack_from("<h", hdr, 70)[0]
+    pixdim = struct.unpack_from("<8f", hdr, 76)
+    vox_offset = int(struct.unpack_from("<f", hdr, 108)[0])
+    scl_slope = struct.unpack_from("<f", hdr, 112)[0]
+    scl_inter = struct.unpack_from("<f", hdr, 116)[0]
+    sform_code = struct.unpack_from("<h", hdr, 254)[0]
+    srow = np.array(struct.unpack_from("<12f", hdr, 280),
+                    np.float64).reshape(3, 4)
+
+    if datatype not in _DTYPES:
+        raise ValueError(f"Unsupported NIfTI datatype {datatype}: {path}")
+    np_dtype = _DTYPES[datatype]
+
+    nx, ny, nz = shape_xyz[0], shape_xyz[1], shape_xyz[2]
+    nt = shape_xyz[3] if ndim >= 4 else 1
+    count = nx * ny * nz * nt
+    data = np.frombuffer(raw, dtype=np_dtype, count=count,
+                         offset=vox_offset).astype(np.float32)
+    if scl_slope not in (0.0, 1.0):
+        data = data * scl_slope + scl_inter
+    elif scl_inter not in (0.0,):
+        data = data + scl_inter
+    # NIfTI stores x fastest: file order is [t][z][y][x]
+    data = data.reshape(nt, nz, ny, nx)
+
+    sx, sy, sz = pixdim[1] or 1.0, pixdim[2] or 1.0, pixdim[3] or 1.0
+    if sform_code > 0:
+        affine = np.eye(4)
+        affine[:3] = srow
+    else:
+        affine = np.diag([sx, sy, sz, 1.0])
+    props = {
+        "spacing": (float(sz), float(sy), float(sx)),
+        "affine": affine,
+        "original_dtype": np.dtype(np_dtype).name,
+    }
+    return data, props
+
+
+def write_nifti(path, data, props=None, dtype=None):
+    """Write a (D, H, W) or (C, D, H, W) array as NIfTI-1.
+
+    Geometry comes from props["affine"] / props["spacing"] when given.
+    """
+    data = np.asarray(data)
+    if data.ndim == 3:
+        data = data[None]
+    C, D, H, W = data.shape
+    if dtype is None:
+        dtype = np.uint8 if np.issubdtype(data.dtype, np.integer) else np.float32
+    dtype = np.dtype(dtype)
+    if dtype not in _DTYPE_CODES:
+        raise ValueError(f"Unsupported write dtype {dtype}")
+    out = data.astype(dtype)
+
+    props = props or {}
+    spacing = props.get("spacing", (1.0, 1.0, 1.0))  # (z, y, x)
+    affine = np.asarray(props.get(
+        "affine", np.diag([spacing[2], spacing[1], spacing[0], 1.0])))
+
+    hdr = bytearray(HDR_SIZE)
+    struct.pack_into("<i", hdr, 0, HDR_SIZE)
+    ndim = 3 if C == 1 else 4
+    dims = [ndim, W, H, D, C if C > 1 else 1, 1, 1, 1]
+    struct.pack_into("<8h", hdr, 40, *dims)
+    struct.pack_into("<h", hdr, 70, _DTYPE_CODES[dtype])
+    struct.pack_into("<h", hdr, 72, out.dtype.itemsize * 8)  # bitpix
+    struct.pack_into("<8f", hdr, 76, 1.0, float(spacing[2]), float(spacing[1]),
+                     float(spacing[0]), 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
+    struct.pack_into("<f", hdr, 116, 0.0)    # scl_inter
+    struct.pack_into("<h", hdr, 252, 1)      # qform_code (identity quaternion)
+    struct.pack_into("<h", hdr, 254, 1)      # sform_code
+    struct.pack_into("<3f", hdr, 268, float(affine[0, 3]), float(affine[1, 3]),
+                     float(affine[2, 3]))    # qoffset
+    struct.pack_into("<12f", hdr, 280, *affine[:3].reshape(-1).tolist())
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + b"\x00" * 4 + out.tobytes()  # 4-byte extension pad
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with _open(path, "wb") as f:
+        f.write(payload)

@@ -1,0 +1,107 @@
+"""NIfTI IO roundtrip + preprocessing semantics tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dg_tta_tpu.data.nifti import read_nifti, write_nifti
+from dg_tta_tpu.data.preprocess import (
+    crop_to_nonzero,
+    normalize,
+    preprocess_case,
+    resample_to_spacing,
+    undo_preprocessing_logits,
+)
+
+PLANS = json.load(open(
+    "/root/reference/dg_tta/__resources__/dummy_results/"
+    "nnUNetTrainer_GIN__nnUNetPlans__3d_fullres/plans.json"))
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_nifti_roundtrip(tmp_path, rng, gz):
+    vol = rng.normal(size=(1, 12, 14, 10)).astype(np.float32)
+    path = tmp_path / ("x.nii.gz" if gz else "x.nii")
+    props = {"spacing": (2.0, 1.5, 1.25),
+             "affine": np.array([[1.25, 0, 0, -30], [0, 1.5, 0, 10],
+                                 [0, 0, 2.0, 5], [0, 0, 0, 1.0]])}
+    write_nifti(path, vol, props, dtype=np.float32)
+    data, props2 = read_nifti(path)
+    np.testing.assert_allclose(data, vol, rtol=1e-6)
+    np.testing.assert_allclose(props2["spacing"], props["spacing"])
+    np.testing.assert_allclose(props2["affine"], props["affine"])
+
+
+def test_nifti_int_seg_roundtrip(tmp_path, rng):
+    seg = rng.integers(0, 5, size=(9, 8, 7)).astype(np.int32)
+    path = tmp_path / "seg.nii.gz"
+    write_nifti(path, seg, {"spacing": (1.0, 1.0, 1.0)})
+    data, props = read_nifti(path)
+    np.testing.assert_array_equal(data[0].astype(np.int32), seg)
+    assert props["original_dtype"] == "uint8"
+
+
+def test_crop_to_nonzero():
+    data = np.zeros((1, 10, 12, 14), np.float32)
+    data[0, 2:8, 3:9, 4:11] = 1.0
+    seg = np.ones((1, 10, 12, 14), np.int8)
+    d, s, bbox = crop_to_nonzero(data, seg)
+    assert bbox == ((2, 8), (3, 9), (4, 11))
+    assert d.shape == (1, 6, 6, 7)
+    assert (s >= 0).all()  # inside the box everything is nonzero here
+
+    # zero voxels inside the bbox get seg=-1
+    data[0, 5, 5, 5] = 0.0
+    d, s, bbox = crop_to_nonzero(data, seg)
+    assert s[0, 3, 2, 1] == -1
+
+
+def test_ct_normalization_matches_fingerprint():
+    rng = np.random.default_rng(0)
+    data = rng.normal(0, 800, size=(1, 8, 8, 8)).astype(np.float32)
+    out = normalize(data, ["CTNormalization"], [False], PLANS)
+    p = PLANS["foreground_intensity_properties_per_channel"]["0"]
+    expect = (np.clip(data[0], p["percentile_00_5"], p["percentile_99_5"])
+              - p["mean"]) / p["std"]
+    np.testing.assert_allclose(out[0], expect, rtol=1e-5)
+
+
+def test_zscore_normalization():
+    rng = np.random.default_rng(1)
+    data = rng.normal(5, 3, size=(1, 8, 8, 8)).astype(np.float32)
+    out = normalize(data, ["ZScoreNormalization"], [False], PLANS)
+    assert abs(float(out.mean())) < 1e-4
+    assert abs(float(out.std()) - 1.0) < 1e-3
+
+
+def test_resample_seg_preserves_labels():
+    seg = np.zeros((1, 10, 10, 10), np.int16)
+    seg[0, 2:7, 2:7, 2:7] = 3
+    seg[0, 7:9, 7:9, 7:9] = 7
+    out = resample_to_spacing(seg, (2.0, 2.0, 2.0), (1.0, 1.0, 1.0),
+                              is_seg=True)
+    assert out.shape == (1, 20, 20, 20)
+    assert set(np.unique(out)) <= {0, 3, 7}
+    # label 3's cube roughly doubles in each dim
+    assert 600 < (out == 3).sum() < 1400
+
+
+def test_preprocess_and_undo_roundtrip():
+    rng = np.random.default_rng(2)
+    data = np.zeros((1, 20, 24, 22), np.float32)
+    data[0, 4:18, 5:20, 3:19] = rng.normal(100, 300, size=(14, 15, 16))
+    props = {"spacing": (3.0, 2.0, 2.0)}
+    pp, _, info = preprocess_case(data, props, PLANS)
+    assert info.original_shape == (20, 24, 22)
+    assert info.bbox == ((4, 18), (5, 20), (3, 19))
+    # resampled to 1.5mm iso: 14*3/1.5=28, 15*2/1.5=20, 16*2/1.5=21.33->21
+    assert pp.shape == (1, 28, 20, 21)
+
+    # fake logits strongly favoring class 1 everywhere
+    logits = np.zeros((*pp.shape[1:], 3), np.float32)
+    logits[..., 1] = 5.0
+    seg = undo_preprocessing_logits(logits, info)
+    assert seg.shape == (20, 24, 22)
+    assert (seg[4:18, 5:20, 3:19] == 1).all()
+    assert (seg[:4] == 0).all() and (seg[18:] == 0).all()

@@ -1,0 +1,1 @@
+from dg_tta_tpu.cli.main import main

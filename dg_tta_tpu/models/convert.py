@@ -135,6 +135,33 @@ def load_torch_checkpoint(path):
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def flat_npz_to_params(path):
+    """Inverse of `params_to_flat_npz`: rebuild the nested pytree (numeric
+    path segments become list indices)."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        items = {k: z[k] for k in z.files}
+
+    root = {}
+    for name, arr in items.items():
+        parts = name.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(arr)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
 def params_to_flat_npz(params, path):
     """Persist a param pytree as .npz (framework-independent archive)."""
     import jax

@@ -1,0 +1,102 @@
+"""Headline benchmark: TTA seconds per volume at the reference's default
+budget (12 epochs x 16 accumulated patches x 2 branches x 3 ensembles,
+112x112x128 patches — /root/reference/dg_tta/tta/config_log_utils.py:24-41)
+on the TS104 flagship PlainConvUNet.
+
+Prints ONE JSON line:
+  {"metric": "tta_sec_per_volume", "value": N, "unit": "s",
+   "vs_baseline": <baseline_target / N>}
+vs_baseline compares against the driver-set north-star of 10 s/volume
+(BASELINE.md; the reference repo publishes no timings). >1.0 beats it.
+
+Env knobs: BENCH_SMALL=1 (tiny model, smoke), BENCH_ENSEMBLE_CHUNK,
+BENCH_REMAT=0/1, BENCH_EPOCHS.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_TARGET_S = 10.0
+
+
+def flagship():
+    import jax
+    from dg_tta_tpu.models.network import build_model, Model
+    from dg_tta_tpu.models.plans import ArchSpec
+
+    if os.environ.get("BENCH_SMALL"):
+        spec = ArchSpec(
+            features_per_stage=(8, 16),
+            kernel_sizes=((3, 3, 3), (3, 3, 3)),
+            strides=((1, 1, 1), (2, 2, 2)),
+            n_conv_per_stage_encoder=(1, 1),
+            n_conv_per_stage_decoder=(1,),
+            num_input_channels=1,
+            num_classes=4,
+        )
+        return Model(spec=spec, patch_size=(16, 16, 16),
+                     trainer_name="nnUNetTrainer_GIN",
+                     uses_gin_internal=True, uses_mind=False), (48, 48, 48)
+    base = ("/root/reference/dg_tta/__resources__/dummy_results/"
+            "nnUNetTrainer_GIN__nnUNetPlans__3d_fullres")
+    plans = json.load(open(f"{base}/plans.json"))
+    dsj = json.load(open(f"{base}/dataset.json"))
+    # benchmark volume ~= the TS104 median shape (231,228,242) at 1.5mm
+    return build_model(plans, dsj, "nnUNetTrainer_GIN"), (224, 224, 240)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dg_tta_tpu.core.patches import bucket_shape_for, pad_to_bucket
+    from dg_tta_tpu.tta.engine import tta_one_volume
+    from dg_tta_tpu.tta.plan import TTAPlan
+
+    model, vol_shape = flagship()
+    epochs = int(os.environ.get("BENCH_EPOCHS", 12))
+    chunk = int(os.environ.get("BENCH_ENSEMBLE_CHUNK", 1))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    plan = TTAPlan(epochs=epochs)
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(*vol_shape, 1)).astype(np.float32)
+    vol[tuple(slice(s // 4, s // 2) for s in vol_shape)] += 2.0
+    volj = jnp.asarray(vol)
+    bucket = bucket_shape_for(vol_shape)
+    padded = pad_to_bucket(volj, bucket, pad_value=float(volj.min()))[None]
+    shapes = jnp.asarray([[float(s) for s in vol_shape]])
+    idx = np.arange(min(10, model.spec.num_classes), dtype=np.int32)
+
+    import sys
+    verbose = os.environ.get("BENCH_VERBOSE")
+    log = (lambda e, l, d: print(f"  epoch {e} loss={np.mean(l):.4f}",
+                                 file=sys.stderr)) if verbose else None
+    run = lambda key: tta_one_volume(
+        model, plan, params, padded, shapes, idx, idx, key,
+        ensemble_chunk=chunk, remat=remat, log_fn=log)
+
+    # warm-up volume: pays all compilations
+    out = run(jax.random.PRNGKey(1))
+    jax.block_until_ready(jax.tree.leaves(out[0])[0])
+
+    # measured volume: steady-state sec/volume
+    t0 = time.perf_counter()
+    out = run(jax.random.PRNGKey(2))
+    jax.block_until_ready(jax.tree.leaves(out[0])[0])
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "tta_sec_per_volume",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_TARGET_S / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

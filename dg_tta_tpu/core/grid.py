@@ -88,10 +88,13 @@ def grid_sample(
     y = _unnormalize(grid[..., 1], H, align_corners)
     z = _unnormalize(grid[..., 2], D, align_corners)
 
-    flat = vol.reshape(B, D * H * W, C)
+    # channels-first flat layout: gathers produce (B, C, N) so the huge N
+    # axis sits on the 128-lane tile dimension — (B, N, C) with small C pads
+    # C up to 128 and multiplies HBM temp 4-128x on TPU
+    flat = jnp.moveaxis(vol, -1, 1).reshape(B, C, D * H * W)
 
     def gather(zi, yi, xi, w=None):
-        """Gather vol[b, zi, yi, xi, :] with clamping; weight/mask w applied."""
+        """Gather vol[b, :, lin(zi,yi,xi)] with clamping; weight/mask applied."""
         inb = (
             (zi >= 0) & (zi <= D - 1)
             & (yi >= 0) & (yi <= H - 1)
@@ -101,16 +104,21 @@ def grid_sample(
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
         lin = (zc * H + yc) * W + xc  # (B, Do, Ho, Wo)
-        lin2 = lin.reshape(B, -1)
-        vals = jnp.take_along_axis(flat, lin2[..., None], axis=1)
-        vals = vals.reshape(*lin.shape, C)
+        lin2 = lin.reshape(B, 1, -1)  # (B, 1, N)
+        vals = jnp.take_along_axis(
+            flat, jnp.broadcast_to(lin2, (B, C, lin2.shape[-1])), axis=2)
         if padding_mode == "zeros":
             scale = inb.astype(vol.dtype) if w is None else w * inb.astype(vol.dtype)
         else:
             scale = w
         if scale is not None:
-            vals = vals * scale[..., None]
+            vals = vals * scale.reshape(B, 1, -1)
         return vals
+
+    def to_out(flat_cn):
+        """(B, C, N) -> (B, Do, Ho, Wo, C)"""
+        return jnp.moveaxis(
+            flat_cn.reshape(B, C, *out_spatial), 1, -1)
 
     if mode == "nearest":
         # torch rounds half away from floor via round-to-nearest-even on the
@@ -119,7 +127,7 @@ def grid_sample(
         zi = jnp.round(z).astype(jnp.int32)
         yi = jnp.round(y).astype(jnp.int32)
         xi = jnp.round(x).astype(jnp.int32)
-        return gather(zi, yi, xi)
+        return to_out(gather(zi, yi, xi))
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -142,7 +150,7 @@ def grid_sample(
         + gather(z1, y1, x0, tz * ty * (1 - tx))
         + gather(z1, y1, x1, tz * ty * tx)
     )
-    return out.reshape(B, *out_spatial, C)
+    return to_out(out)
 
 
 def warp(vol, disp_grid, **kw):

@@ -1,0 +1,56 @@
+"""Sharded ensemble/volume parallelism for the TTA engine.
+
+The ensemble members (and, across volumes, the samples) are independent
+adaptation streams — no collectives needed.  Expressed with shard_map over
+the mesh's data axis: each device vmaps over its local members.  (Plain
+vmap+NamedSharding does not partition here: vmap turns the per-member conv
+kernels into grouped convolutions whose group axis XLA cannot shard.)
+"""
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # JAX >= 0.5 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=check_rep)
+
+from dg_tta_tpu.parallel.mesh import DATA_AXIS
+
+
+def make_sharded_ensemble_train(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """jit(shard_map(vmap(epoch_train))): params/opt_state/keys sharded on
+    their leading ensemble axis, volumes replicated.
+
+    The stacked ensemble axis must be divisible by the mesh size.
+    Returns fn(stacked_params, stacked_opt_state, keys, vols, shapes)
+    -> (params, opt_state, losses)."""
+    local = jax.vmap(fns.epoch_train.__wrapped__,
+                     in_axes=(0, 0, 0, None, None))
+    sharded = shard_map(
+        local, mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(), P()),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_sharded_ensemble_eval(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
+    local = jax.vmap(fns.eval_step.__wrapped__,
+                     in_axes=(0, 0, None, None, None))
+    sharded = shard_map(
+        local, mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P(), P()),
+        out_specs=P(axis_name),
+    )
+    return jax.jit(sharded)

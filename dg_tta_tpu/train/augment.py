@@ -1,0 +1,204 @@
+"""nnUNet-style training data augmentation as one fused jittable program.
+
+The reference delegates DA to batchgenerators CPU worker processes
+(nnUNetTrainer.get_training_transforms, see SURVEY §2.2); the MultiRes
+trainers splice a discrete low-res simulation into that stack
+(/root/reference/dg_tta/pretraining/nnUNetTrainer_GIN_MultiRes.py:46-72,
+discrete_downsampling.py:8-37).  Here the whole stack is pure JAX on-device:
+every transform is vectorized over the batch with per-sample Bernoulli gates
+(lax.select keeps shapes static), so DA fuses into the training step.
+
+Transforms (nnUNet v2.2.1 defaults for 3d_fullres; mirroring is intentionally
+absent — the DG trainers disable it, nnUNetTrainer_GIN.py:31-36):
+  rotation+scaling (affine, p=0.2), Gaussian noise (p=0.1), Gaussian blur
+  (p=0.2), multiplicative brightness (p=0.15), contrast (p=0.15), low-res
+  simulation (continuous p=0.25 | discrete MultiRes zooms {1/6,1/4,1/2}
+  p=0.5), gamma on inverted image (p=0.1), gamma (p=0.3).
+Divergence: transform order and parameters follow nnUNet, but interpolation
+uses our trilinear grid_sample everywhere (batchgenerators mixes spline
+orders), and per-channel gates are per-sample here (C=1 in all DG configs).
+"""
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dg_tta_tpu.core.grid import affine_grid, grid_sample, identity_grid
+from dg_tta_tpu.ops.mind import gaussian_kernel_1d
+
+
+@dataclasses.dataclass(frozen=True)
+class DAConfig:
+    rotation_rad: float = 0.52          # ~30deg, nnUNet 3d default
+    p_rotation: float = 0.2
+    scale_range: Tuple[float, float] = (0.7, 1.4)
+    p_scale: float = 0.2
+    p_noise: float = 0.1
+    noise_sigma: Tuple[float, float] = (0.0, 0.1)
+    p_blur: float = 0.2
+    blur_sigma: Tuple[float, float] = (0.5, 1.0)
+    p_brightness: float = 0.15
+    brightness: Tuple[float, float] = (0.75, 1.25)
+    p_contrast: float = 0.15
+    contrast: Tuple[float, float] = (0.75, 1.25)
+    p_lowres: float = 0.25
+    lowres_zoom: Tuple[float, float] = (0.5, 1.0)
+    discrete_lowres_zooms: Optional[Tuple[float, ...]] = None  # MultiRes
+    p_gamma_invert: float = 0.1
+    p_gamma: float = 0.3
+    gamma_range: Tuple[float, float] = (0.7, 1.5)
+
+
+MULTIRES_ZOOMS = (1.0 / 6.0, 0.25, 0.5)  # discrete_downsampling.py:20-24
+
+
+def _bernoulli(key, p, shape=()):
+    return jax.random.uniform(key, shape) < p
+
+
+def _rand_rot_scale_affine(key, cfg: DAConfig):
+    """Random rotation (per-axis euler) + isotropic scale affine (3, 4)."""
+    ks = jax.random.split(key, 5)
+    ang = jax.random.uniform(ks[0], (3,), minval=-cfg.rotation_rad,
+                             maxval=cfg.rotation_rad)
+    do_rot = _bernoulli(ks[1], cfg.p_rotation)
+    ang = jnp.where(do_rot, ang, 0.0)
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    rx = jnp.array([[1, 0, 0], [0, ca[0], -sa[0]], [0, sa[0], ca[0]]])
+    ry = jnp.array([[ca[1], 0, sa[1]], [0, 1, 0], [-sa[1], 0, ca[1]]])
+    rz = jnp.array([[ca[2], -sa[2], 0], [sa[2], ca[2], 0], [0, 0, 1]])
+    rot = rz @ ry @ rx
+    scale = jax.random.uniform(ks[2], (), minval=cfg.scale_range[0],
+                               maxval=cfg.scale_range[1])
+    do_scale = _bernoulli(ks[3], cfg.p_scale)
+    scale = jnp.where(do_scale, scale, 1.0)
+    # nnUNet zooms the sampled patch: scale > 1 means zoom OUT (sample a
+    # larger source region); the sampling grid multiplies by scale.
+    mat = rot * scale
+    return jnp.concatenate([mat, jnp.zeros((3, 1))], axis=1)
+
+
+def _blur_1d(x, sigma, axis):
+    """Gaussian blur along one spatial axis with a fixed-support kernel whose
+    width is data-dependent through the sigma value (kernel size static)."""
+    # static kernel radius for the max sigma (1.0) -> radius 4
+    radius = 4
+    offs = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    k = jnp.exp(-0.5 * (offs / jnp.maximum(sigma, 1e-6)) ** 2)
+    k = k / jnp.sum(k)
+    x_m = jnp.moveaxis(x, axis, -1)
+    pad = [(0, 0)] * (x_m.ndim - 1) + [(radius, radius)]
+    x_p = jnp.pad(x_m, pad, mode="edge")
+    windows = [x_p[..., i:i + x_m.shape[-1]] for i in range(2 * radius + 1)]
+    out = sum(w * k[i] for i, w in enumerate(windows))
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _gaussian_blur(x, sigma):
+    for ax in (0, 1, 2):
+        x = _blur_1d(x, sigma, ax)
+    return x
+
+
+def _lowres_sim(x, zoom, patch_size):
+    """Downsample (nearest, matching order-0) then upsample (trilinear) by a
+    per-axis zoom factor, emulated with two grid_sample passes."""
+    D, H, W = patch_size
+    # zoom: (3,) factors <= 1. Downsample to round(size*zoom) would be a
+    # dynamic shape; instead sample the full-size grid from a nearest-
+    # neighbor grid quantized to the low-res lattice.
+    base = identity_grid(patch_size, align_corners=False)  # (D,H,W,3) xyz
+    sizes = jnp.asarray([W, H, D], jnp.float32)
+    low = jnp.maximum(jnp.round(sizes * zoom[::-1]), 1.0)
+    # voxel index on the low-res lattice (align_corners=False convention)
+    u = (base + 1.0) * 0.5 * low - 0.5
+    u = jnp.round(u)
+    centers = (2.0 * u + 1.0) / low - 1.0
+    return grid_sample(x[None], centers[None], mode="trilinear",
+                       padding_mode="border", align_corners=False)[0]
+
+
+def _gamma(x, key, gamma_range, invert: bool):
+    g = jax.random.uniform(key, (), minval=gamma_range[0],
+                           maxval=gamma_range[1])
+    y = -x if invert else x
+    mn = jnp.min(y)
+    rng = jnp.maximum(jnp.max(y) - mn, 1e-7)
+    yn = (y - mn) / rng
+    out = jnp.power(yn, g) * rng + mn
+    return -out if invert else out
+
+
+def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
+    """Augment one (D, H, W, C) image and (D, H, W, 1) seg patch."""
+    keys = jax.random.split(key, 12)
+
+    # ---- spatial: rotation + scale (shared grid for img & seg) ----------
+    theta = _rand_rot_scale_affine(keys[0], cfg)
+    grid = affine_grid(theta[None], patch_size, align_corners=False)
+    img = grid_sample(img[None], grid, mode="trilinear",
+                      padding_mode="border", align_corners=False)[0]
+    seg = grid_sample(seg[None], grid, mode="nearest",
+                      padding_mode="zeros", align_corners=False)[0]
+
+    # ---- Gaussian noise -------------------------------------------------
+    sig = jax.random.uniform(keys[1], (), minval=cfg.noise_sigma[0],
+                             maxval=cfg.noise_sigma[1])
+    noise = jax.random.normal(keys[2], img.shape) * sig
+    img = jnp.where(_bernoulli(keys[1], cfg.p_noise), img + noise, img)
+
+    # ---- Gaussian blur --------------------------------------------------
+    bs = jax.random.uniform(keys[3], (), minval=cfg.blur_sigma[0],
+                            maxval=cfg.blur_sigma[1])
+    img = jnp.where(_bernoulli(keys[4], cfg.p_blur),
+                    _gaussian_blur(img, bs), img)
+
+    # ---- brightness (multiplicative) ------------------------------------
+    b = jax.random.uniform(keys[5], (), minval=cfg.brightness[0],
+                           maxval=cfg.brightness[1])
+    img = jnp.where(_bernoulli(keys[5], cfg.p_brightness), img * b, img)
+
+    # ---- contrast (preserve mean) ---------------------------------------
+    c = jax.random.uniform(keys[6], (), minval=cfg.contrast[0],
+                           maxval=cfg.contrast[1])
+    mean = jnp.mean(img)
+    img = jnp.where(_bernoulli(keys[6], cfg.p_contrast),
+                    (img - mean) * c + mean, img)
+
+    # ---- low-resolution simulation -------------------------------------
+    if cfg.discrete_lowres_zooms is not None:
+        # MultiRes: per-axis independent choice from the discrete zoom set
+        # plus 1.0 (no-op), p_per_sample=0.5 (nnUNetTrainer_GIN_MultiRes.py:
+        # 58-71 via SimulateDiscreteLowResolutionTransform)
+        zoom_set = jnp.asarray(cfg.discrete_lowres_zooms)
+        zi = jax.random.randint(keys[7], (3,), 0, zoom_set.shape[0])
+        zoom = zoom_set[zi]
+        do = _bernoulli(keys[8], 0.5)
+        zoom = jnp.where(do, zoom, 1.0)
+        img = _lowres_sim(img, zoom, patch_size)
+    else:
+        zoom = jax.random.uniform(keys[7], (3,), minval=cfg.lowres_zoom[0],
+                                  maxval=cfg.lowres_zoom[1])
+        do = _bernoulli(keys[8], cfg.p_lowres)
+        zoom = jnp.where(do, zoom, 1.0)
+        img = _lowres_sim(img, zoom, patch_size)
+
+    # ---- gamma (inverted, then plain) -----------------------------------
+    img = jnp.where(_bernoulli(keys[9], cfg.p_gamma_invert),
+                    _gamma(img, keys[9], cfg.gamma_range, invert=True), img)
+    img = jnp.where(_bernoulli(keys[10], cfg.p_gamma),
+                    _gamma(img, keys[10], cfg.gamma_range, invert=False), img)
+
+    return img, seg
+
+
+def augment_batch(key, imgs, segs, cfg: DAConfig):
+    """Vectorized DA over a (B, D, H, W, C) batch."""
+    patch_size = imgs.shape[1:4]
+    keys = jax.random.split(key, imgs.shape[0])
+    fn = partial(augment_sample, cfg=cfg, patch_size=patch_size)
+    return jax.vmap(fn)(keys, imgs, segs)

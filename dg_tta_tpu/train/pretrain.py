@@ -1,0 +1,210 @@
+"""DG pretraining: the nnUNet training loop, TPU-native.
+
+Replaces the external `nnunetv2` training entry the reference shells into
+(`dgtta pretrain` -> run_training_entry, /root/reference/dg_tta/run.py:64-69)
+plus the six DG trainer subclasses (pretraining/nnUNetTrainer_*.py): 250
+iterations/epoch, SGD-momentum(0.99, nesterov) + poly LR decay, weight decay
+3e-5, deep-supervised Dice+CE, on-device DA (train/augment.py) with GIN /
+MIND input transforms fused into the jitted train step, mirroring disabled
+(nnUNetTrainer_GIN.py:31-36).
+
+Scaling: with several devices, the batch is sharded over the mesh's data
+axis; params replicated; XLA inserts the gradient all-reduce.
+
+Outputs land in the nnUNet results layout
+(`nnUNet_results/{dataset}/{trainer}__nnUNetPlans__{config}/fold_{f}/
+checkpoint_final.npz` + plans/dataset jsons) so `prepare_tta`/`run_tta`
+consume them directly.
+"""
+
+import json
+import shutil
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dg_tta_tpu.models.network import (
+    MULTIRES_TRAINERS,
+    TRAINER_REGISTRY,
+    build_model,
+)
+from dg_tta_tpu.models.convert import flat_npz_to_params, params_to_flat_npz
+from dg_tta_tpu.train.augment import DAConfig, MULTIRES_ZOOMS, augment_batch
+from dg_tta_tpu.train.dataset import (
+    PatchSampler,
+    fingerprint_dataset,
+    make_splits,
+    plan_experiment,
+    preprocess_dataset,
+)
+from dg_tta_tpu.train.losses import deep_supervised_loss, poly_lr
+from dg_tta_tpu.utils.paths import (
+    maybe_convert_to_dataset_name,
+    nnunet_raw,
+    nnunet_results,
+)
+
+ITERS_PER_EPOCH = 250
+INITIAL_LR = 1e-2
+WEIGHT_DECAY = 3e-5
+MOMENTUM = 0.99
+
+
+def make_train_step(model, da_cfg: DAConfig, batch_dice: bool = True):
+    """One fused jitted step: DA -> GIN/MIND -> U-Net -> deep-sup loss ->
+    SGD update.  lr is passed as data so poly decay never recompiles."""
+
+    # torch-SGD semantics (nnUNet: momentum 0.99, nesterov, wd 3e-5): weight
+    # decay added to the raw grad, then the momentum trace; the -lr scale is
+    # applied in-step so poly decay is plain data (no recompilation).
+    tx = optax.chain(
+        optax.add_decayed_weights(WEIGHT_DECAY),
+        optax.trace(decay=MOMENTUM, nesterov=True),
+    )
+
+    def loss_fn(params, key, imgs, segs):
+        k_da, k_model = jax.random.split(key)
+        imgs_aug, segs_aug = augment_batch(k_da, imgs, segs, da_cfg)
+        outputs = model.apply(params, imgs_aug, key=k_model,
+                              deep_supervision=True, internal_aug=True)
+        target = segs_aug[..., 0].astype(jnp.int32)
+        return deep_supervised_loss(outputs, target, batch_dice=batch_dice)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, key, imgs, segs, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, key, imgs, segs)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return tx, step
+
+
+def _ensure_preprocessed(dataset_name: str, plans: Optional[dict],
+                         preprocessed_dir: Path):
+    raw_dir = nnunet_raw() / dataset_name
+    with open(raw_dir / "dataset.json") as f:
+        dataset_json = json.load(f)
+    plans_path = preprocessed_dir / "plans.json"
+    if plans is None:
+        if plans_path.is_file():
+            plans = json.load(open(plans_path))
+        else:
+            fp = fingerprint_dataset(raw_dir)
+            plans = plan_experiment(dataset_json, fp, dataset_name)
+            preprocessed_dir.mkdir(parents=True, exist_ok=True)
+            with open(preprocessed_dir / "dataset_fingerprint.json", "w") as f:
+                json.dump(fp, f, indent=2)
+    preprocessed_dir.mkdir(parents=True, exist_ok=True)
+    with open(plans_path, "w") as f:
+        json.dump(plans, f, indent=2)
+
+    store = preprocessed_dir / "nnUNetPlans_3d_fullres"
+    splits_path = preprocessed_dir / "splits_final.json"
+    if not splits_path.is_file():
+        cases = preprocess_dataset(raw_dir, plans, store)
+        splits = make_splits(cases)
+        with open(splits_path, "w") as f:
+            json.dump(splits, f, indent=2)
+    with open(splits_path) as f:
+        splits = json.load(f)
+    return dataset_json, plans, store, splits
+
+
+def run_pretraining(dataset_id, configuration: str = "3d_fullres",
+                    fold=0, trainer_name: str = "nnUNetTrainer_GIN",
+                    num_epochs: int = 1000, continue_training: bool = False,
+                    plans: Optional[dict] = None,
+                    iters_per_epoch: int = ITERS_PER_EPOCH,
+                    batch_size: Optional[int] = None,
+                    seed: int = 0, verbose: bool = True):
+    """The `dgtta pretrain` entry (run.py:64-69 surface)."""
+    assert trainer_name in TRAINER_REGISTRY, trainer_name
+    dataset_name = maybe_convert_to_dataset_name(dataset_id)
+    fold = int(fold) if str(fold).isnumeric() else fold
+
+    import os
+    preprocessed_root = Path(os.environ.get(
+        "nnUNet_preprocessed", nnunet_results().parent / "nnUNet_preprocessed"))
+    preprocessed_dir = preprocessed_root / dataset_name
+    dataset_json, plans, store, splits = _ensure_preprocessed(
+        dataset_name, plans, preprocessed_dir)
+
+    cfg = plans["configurations"][configuration]
+    patch_size = tuple(cfg["patch_size"])
+    if batch_size is None:
+        batch_size = int(cfg.get("batch_size", 2))
+
+    out_dir = (nnunet_results() / dataset_name /
+               f"{trainer_name}__nnUNetPlans__{configuration}" /
+               (f"fold_{fold}" if fold != "all" else "all"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for fname in ("plans.json", "dataset_fingerprint.json"):
+        src = preprocessed_dir / fname
+        if src.is_file():
+            shutil.copy(src, out_dir.parent / fname)
+    with open(out_dir.parent / "dataset.json", "w") as f:
+        json.dump(dataset_json, f, indent=2)
+
+    if fold == "all":
+        train_cases = sorted({c for s in splits for c in s["train"]}
+                             | {c for s in splits for c in s["val"]})
+    else:
+        train_cases = splits[fold]["train"]
+    sampler = PatchSampler(store, train_cases, patch_size, seed=seed)
+
+    model = build_model(plans, dataset_json, trainer_name, configuration)
+    da_cfg = DAConfig(
+        discrete_lowres_zooms=(MULTIRES_ZOOMS
+                               if trainer_name in MULTIRES_TRAINERS else None))
+    tx, step = make_train_step(model, da_cfg,
+                               batch_dice=bool(cfg.get("batch_dice", True)))
+
+    key = jax.random.PRNGKey(seed)
+    ckpt_latest = out_dir / "checkpoint_latest.npz"
+    start_epoch = 0
+    if continue_training and ckpt_latest.is_file():
+        params = flat_npz_to_params(ckpt_latest)
+        meta = json.load(open(out_dir / "training_state.json"))
+        start_epoch = meta["epoch"] + 1
+        if verbose:
+            print(f"Resuming from epoch {start_epoch}")
+    else:
+        params = model.init_params(key)
+    opt_state = tx.init(params)
+
+    log_path = out_dir / "training_log.jsonl"
+    for epoch in range(start_epoch, num_epochs):
+        lr = poly_lr(INITIAL_LR, epoch, num_epochs)
+        t0 = time.perf_counter()
+        losses = []
+        for it in range(iters_per_epoch):
+            key, k_step = jax.random.split(key)
+            imgs, segs = sampler.batch(batch_size)
+            params, opt_state, loss = step(
+                params, opt_state, k_step, jnp.asarray(imgs),
+                jnp.asarray(segs.astype(np.float32)), jnp.float32(lr))
+            losses.append(loss)
+        mean_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
+        dt = time.perf_counter() - t0
+        if verbose:
+            print(f"epoch {epoch:4d}  loss={mean_loss:.4f}  lr={lr:.2e}  "
+                  f"{dt:.1f}s")
+        with open(log_path, "a") as f:
+            f.write(json.dumps({"epoch": epoch, "loss": mean_loss,
+                                "lr": lr, "seconds": dt}) + "\n")
+        params_to_flat_npz(params, ckpt_latest)
+        with open(out_dir / "training_state.json", "w") as f:
+            json.dump({"epoch": epoch, "trainer": trainer_name}, f)
+
+    params_to_flat_npz(params, out_dir / "checkpoint_final.npz")
+    if verbose:
+        print(f"Training done -> {out_dir / 'checkpoint_final.npz'}")
+    return out_dir

@@ -215,12 +215,16 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
         if verbose:
             print(f"# TTA {group_id}")
         key, k_run = jax.random.split(key)
+        # memory heuristic: full-size models (>=1M-voxel patches) run one
+        # ensemble member per device step with branch rematerialization
+        big = int(np.prod(model.patch_size)) >= 2 ** 20
         with timer.phase("adaptation"):
             adapted, losses, dices = tta_one_volume(
                 model, plan, pretrained_params, vols, tshapes,
                 map_pre, map_tta, k_run, labels_padded=labs,
                 modify_input_fn=modify_input_fn,
-                modify_output_fn=modify_output_fn, log_fn=log_fn)
+                modify_output_fn=modify_output_fn, log_fn=log_fn,
+                ensemble_chunk=1 if big else None, remat=big)
             jax.block_until_ready(jax.tree.leaves(adapted)[0])
 
         for i, mp in enumerate(member_paths):

@@ -30,6 +30,7 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from dg_tta_tpu.core.fields import get_disp_field, get_rand_affine
@@ -97,6 +98,7 @@ def make_tta_functions(
     modify_input_fn: Optional[Callable] = None,
     modify_output_fn: Optional[Callable] = None,
     num_tta_classes: Optional[int] = None,
+    remat: bool = False,
 ) -> TTAFunctions:
     """Build the jitted TTA step functions.
 
@@ -151,10 +153,20 @@ def make_tta_functions(
                                  align_corners=False)
         return logits
 
+    # Rematerializing each branch halves peak activation memory: backward
+    # recomputes one branch's activations at a time instead of holding both
+    # U-Net forwards live (needed to fit the 112x112x128 TS104 model + grads
+    # in one v5e's HBM).
+    branch_a_fn = lambda p, k, x: branch(p, k, x, "branch_a")
+    branch_b_fn = lambda p, k, x: branch(p, k, x, "branch_b")
+    if remat:
+        branch_a_fn = jax.checkpoint(branch_a_fn)
+        branch_b_fn = jax.checkpoint(branch_b_fn)
+
     def patch_loss(params, key, imgs):
         ka, kb = jax.random.split(key)
-        la = branch(params, ka, imgs, "branch_a")
-        lb = branch(params, kb, imgs, "branch_b")
+        la = branch_a_fn(params, ka, imgs)
+        lb = branch_b_fn(params, kb, imgs)
         return consistency_loss(la, lb, start_class=1)
 
     def draw_and_loss(params, key, vols, shapes):
@@ -228,6 +240,8 @@ def tta_one_volume(
     modify_input_fn: Optional[Callable] = None,
     modify_output_fn: Optional[Callable] = None,
     log_fn: Optional[Callable] = None,
+    ensemble_chunk: Optional[int] = None,
+    remat: bool = False,
 ) -> Tuple[Any, Any, Any]:
     """Adapt `ensemble_count` parameter sets on one volume (or, with
     tta_across_all_samples, on a stack of volumes).
@@ -242,13 +256,21 @@ def tta_one_volume(
        losses (epochs, E), eval dices (epochs, E)).
     """
     E = plan.ensemble_count
+    chunk = ensemble_chunk or E
+    assert E % chunk == 0, (E, chunk)
+    n_chunks = E // chunk
     fns = make_tta_functions(
         model, plan, map_idxs_pretrain, map_idxs_tta,
-        modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn)
+        modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn,
+        remat=remat)
 
-    params = jax.tree.map(
-        lambda p: jnp.broadcast_to(p[None], (E, *p.shape)), pretrained_params)
-    opt_state = jax.vmap(fns.init_opt_state)(params)
+    # one chunk of `chunk` members per device step; chunks run sequentially
+    # (memory control for the full-size model on a single chip)
+    params_c = [
+        jax.tree.map(lambda p: jnp.broadcast_to(p[None], (chunk, *p.shape)),
+                     pretrained_params)
+        for _ in range(n_chunks)]
+    opt_c = [jax.vmap(fns.init_opt_state)(p) for p in params_c]
 
     train_v = jax.jit(
         jax.vmap(fns.epoch_train.__wrapped__, in_axes=(0, 0, 0, None, None)),
@@ -262,20 +284,36 @@ def tta_one_volume(
     losses, dices = [], []
     for epoch in range(plan.epochs):
         key, k_ep, k_ev = jax.random.split(key, 3)
-        ks = jax.random.split(k_ep, E)
-        if fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
-            params, opt_state, loss = train_v(params, opt_state, ks,
-                                              vols_padded, true_shapes)
-        else:
-            loss = fwd_v(params, ks, vols_padded, true_shapes)
-        if labels_padded is not None:
-            dice = eval_v(params, jax.random.split(k_ev, E), vols_padded,
-                          true_shapes, labels_padded)
-        else:
-            dice = jnp.full((E,), jnp.nan)
+        ks = jax.random.split(k_ep, E).reshape(n_chunks, chunk, -1)
+        ks_ev = jax.random.split(k_ev, E).reshape(n_chunks, chunk, -1)
+        loss_parts, dice_parts = [], []
+        for c in range(n_chunks):
+            if fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
+                params_c[c], opt_c[c], loss = train_v(
+                    params_c[c], opt_c[c], ks[c], vols_padded, true_shapes)
+            else:
+                loss = fwd_v(params_c[c], ks[c], vols_padded, true_shapes)
+            if labels_padded is not None:
+                dice = eval_v(params_c[c], ks_ev[c], vols_padded,
+                              true_shapes, labels_padded)
+            else:
+                dice = jnp.full((chunk,), jnp.nan)
+            loss_parts.append(loss)
+            dice_parts.append(dice)
+        loss = jnp.concatenate(loss_parts)
+        dice = jnp.concatenate(dice_parts)
         losses.append(loss)
         dices.append(dice)
         if log_fn is not None:
             log_fn(epoch, jax.device_get(loss), jax.device_get(dice))
 
+    if n_chunks == 1:
+        params = params_c[0]
+    else:
+        # host-side concat: after a full-size adaptation HBM is near peak;
+        # a device concat here can OOM for zero benefit (callers save
+        # per-member files / reload for inference anyway)
+        params = jax.tree.map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
+            *params_c)
     return params, jnp.stack(losses), jnp.stack(dices)

@@ -35,6 +35,7 @@ def _cmd_pretrain(args):
         fold=args.fold,
         trainer_name=args.trainer,
         num_epochs=args.num_epochs,
+        num_devices=args.num_devices,
         continue_training=args.continue_training,
     )
 
@@ -123,6 +124,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("fold", nargs="?", default="0")
     p.add_argument("-tr", "--trainer", default="nnUNetTrainer_GIN")
     p.add_argument("--num_epochs", type=int, default=1000)
+    p.add_argument("--num_devices", type=int, default=1,
+                   help="Data-parallel devices (the -num_gpus analog)")
     p.add_argument("--c", dest="continue_training", action="store_true")
     p.set_defaults(fn=_cmd_pretrain)
 

@@ -124,6 +124,7 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                     plans: Optional[dict] = None,
                     iters_per_epoch: int = ITERS_PER_EPOCH,
                     batch_size: Optional[int] = None,
+                    num_devices: int = 1,
                     seed: int = 0, verbose: bool = True):
     """The `dgtta pretrain` entry (run.py:64-69 surface)."""
     assert trainer_name in TRAINER_REGISTRY, trainer_name
@@ -167,6 +168,19 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
     tx, step = make_train_step(model, da_cfg,
                                batch_dice=bool(cfg.get("batch_dice", True)))
 
+    # data parallelism: batch sharded over the mesh, params replicated;
+    # XLA inserts the gradient all-reduce (the `-num_gpus` analog of the
+    # reference's DDP path, run.py:64-69 -> nnUNet DDP)
+    shard_batch = lambda x: x
+    if num_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dg_tta_tpu.parallel.mesh import make_mesh
+        assert batch_size % num_devices == 0, (batch_size, num_devices)
+        mesh = make_mesh(num_devices)
+        batch_sharding = NamedSharding(mesh, P("data"))
+        replicated = NamedSharding(mesh, P())
+        shard_batch = lambda x: jax.device_put(x, batch_sharding)
+
     key = jax.random.PRNGKey(seed)
     ckpt_latest = out_dir / "checkpoint_latest.npz"
     start_epoch = 0
@@ -189,8 +203,9 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
             key, k_step = jax.random.split(key)
             imgs, segs = sampler.batch(batch_size)
             params, opt_state, loss = step(
-                params, opt_state, k_step, jnp.asarray(imgs),
-                jnp.asarray(segs.astype(np.float32)), jnp.float32(lr))
+                params, opt_state, k_step, shard_batch(jnp.asarray(imgs)),
+                shard_batch(jnp.asarray(segs.astype(np.float32))),
+                jnp.float32(lr))
             losses.append(loss)
         mean_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
         dt = time.perf_counter() - t0

@@ -168,9 +168,8 @@ def fetch_pretrained_weights(pretrained_dataset_id: str):
 
     target_path.mkdir(exist_ok=True, parents=True)
     weights_pth.parent.mkdir(exist_ok=True)
-    scaffold = get_resources_dir() / "dummy_results" / trainer_dir
-    if scaffold.is_dir():
-        shutil.copytree(scaffold, target_path, dirs_exist_ok=True)
+    from dg_tta_tpu.resources import materialize_scaffold
+    materialize_scaffold(trainer_dir, target_path)
 
     if weights_npz.exists():
         return target_path, weights_npz
@@ -254,6 +253,8 @@ def prepare_tta(pretrained_dataset_id, tta_dataset_id, pretrainer=None,
         json.dump(initial_plan, f, indent=4)
     with open(plan_dir / "modifier_functions.py", "w") as f:
         f.write(MODIFIER_TEMPLATE)
+    from dg_tta_tpu.resources import write_check_notebook
+    write_check_notebook(plan_dir / "check_tta_input.ipynb")
 
     print(f"\nPreparation done. You can edit the plan, modifier functions "
           f"and optimized labels in {plan_dir} prior to running TTA.")

@@ -40,7 +40,8 @@ from dg_tta_tpu.models.network import Model, build_model
 from dg_tta_tpu.obs.plots import plot_run_results
 from dg_tta_tpu.obs.timers import PhaseTimer
 from dg_tta_tpu.eval.metrics import compute_metrics_on_folder
-from dg_tta_tpu.tta.config import get_parameters_save_path
+from dg_tta_tpu.obs.wandb_log import wandb_log, wandb_run_is_available
+from dg_tta_tpu.tta.config import get_global_idx, get_parameters_save_path
 from dg_tta_tpu.tta.engine import tta_one_volume
 from dg_tta_tpu.tta.plan import TTAPlan
 
@@ -176,7 +177,7 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
     else:
         groups = [[s] for s in samples]
 
-    for group in groups:
+    for smp_idx, group in enumerate(groups):
         group_id = ("all_samples" if plan.tta_across_all_samples
                     else group[0].sample_id)
         sub_dir = (save_path / "tta_output" if plan.tta_across_all_samples
@@ -206,11 +207,18 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
 
         logs = []
 
-        def log_fn(epoch, loss, dice):
+        def log_fn(epoch, loss, dice, smp_idx=smp_idx, param_id=param_id):
             logs.append((epoch, float(np.mean(loss)), float(np.mean(dice))))
             if verbose:
                 print(f"  epoch {epoch:3d} loss={np.mean(loss):.4f} "
                       f"pseudo-dice={100 * np.mean(dice):.1f}%")
+            if wandb_run_is_available():
+                step = get_global_idx([(smp_idx, len(groups)),
+                                       (0, plan.ensemble_count),
+                                       (epoch, plan.epochs)])
+                wandb_log({f"losses/loss__{param_id}": float(np.mean(loss)),
+                           f"scores/eval_dice__{param_id}":
+                               float(np.mean(dice))}, step=step)
 
         if verbose:
             print(f"# TTA {group_id}")
@@ -295,6 +303,9 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
         if verbose:
             print(f"summary_{bucket}: foreground mean Dice = "
                   f"{summary['foreground_mean']['Dice']:.4f}")
+        if wandb_run_is_available():
+            wandb_log({f"scores/tta_dice_mean_{bucket}":
+                       summary["foreground_mean"]["Dice"]})
 
     if verbose:
         print(timer.report())

@@ -56,10 +56,14 @@ def main():
     from dg_tta_tpu.tta.engine import tta_one_volume
     from dg_tta_tpu.tta.plan import TTAPlan
 
+    import dataclasses
+
     model, vol_shape = flagship()
     epochs = int(os.environ.get("BENCH_EPOCHS", 12))
     chunk = int(os.environ.get("BENCH_ENSEMBLE_CHUNK", 1))
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    if os.environ.get("BENCH_BF16", "1") == "1":
+        model = dataclasses.replace(model, compute_dtype="bfloat16")
     plan = TTAPlan(epochs=epochs)
 
     params = model.init_params(jax.random.PRNGKey(0))

@@ -49,6 +49,7 @@ class Model:
     uses_gin_internal: bool
     uses_mind: bool
     mind_noise_scale: float = 0.05  # reference keeps noise on at inference
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16"; None = float32
 
     def apply(self, params, x, key=None, deep_supervision: bool = False,
               internal_aug: bool = False):
@@ -69,7 +70,8 @@ class Model:
         if self.uses_mind:
             x = mind3d(x, key=k_mind, noise_scale=self.mind_noise_scale)
         return unet_apply(params, x, self.spec,
-                          deep_supervision=deep_supervision)
+                          deep_supervision=deep_supervision,
+                          compute_dtype=self.compute_dtype)
 
     def init_params(self, key, dtype=jnp.float32):
         return init_unet_params(key, self.spec, dtype)

@@ -88,7 +88,8 @@ def _conv_block(x, p, stride, spec):
     return _leaky(x, spec.leaky_slope)
 
 
-def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False):
+def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False,
+               compute_dtype=None):
     """Forward pass.
 
     Args:
@@ -100,6 +101,13 @@ def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False):
       (B, D, H, W, num_classes) logits, or a list of such at declining
       resolutions.
     """
+    if compute_dtype is not None:
+        # bf16 path: weights + activations in compute_dtype; conv accumulate
+        # and IN statistics stay f32 (preferred_element_type above); logits
+        # are cast back to f32 at the heads
+        x = x.astype(compute_dtype)
+        params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+
     skips = []
     h = x
     for s in range(spec.n_stages):
@@ -124,12 +132,13 @@ def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False):
         lres = h
         if deep_supervision:
             sl = params["decoder"]["seg_layers"][d]
-            seg_outputs.append(_conv(h, sl["w"], sl["b"]))
+            seg_outputs.append(
+                _conv(h, sl["w"], sl["b"]).astype(jnp.float32))
     if deep_supervision:
         # nnUNet returns highest resolution first
         return seg_outputs[::-1]
     sl = params["decoder"]["seg_layers"][n_dec - 1]
-    return _conv(lres, sl["w"], sl["b"])
+    return _conv(lres, sl["w"], sl["b"]).astype(jnp.float32)
 
 
 def init_unet_params(key, spec: ArchSpec, dtype=jnp.float32):

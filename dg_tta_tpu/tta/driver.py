@@ -71,6 +71,10 @@ def load_pretrained_bundle(weights_file):
     with open(model_dir / "dataset.json") as f:
         dataset_json = json.load(f)
     model = build_model(plans, dataset_json, trainer, configuration)
+    import os
+    cd = os.environ.get("DGTTA_COMPUTE_DTYPE")
+    if cd:
+        model = dataclasses.replace(model, compute_dtype=cd)
     if weights_file.suffix == ".npz":
         params = flat_npz_to_params(weights_file)
     else:

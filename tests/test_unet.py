@@ -192,3 +192,17 @@ def test_flagship_spec_from_reference_plans():
     n = param_count(params)
     # the 5-stage 32..320 plans spec works out to ~16.6M parameters
     assert 15e6 < n < 20e6
+
+
+def test_bf16_compute_close_to_f32():
+    params = init_unet_params(jax.random.PRNGKey(0), SMALL_SPEC)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(1, 16, 16, 16, SMALL_SPEC.num_input_channels))
+        .astype(np.float32))
+    f32 = unet_apply(params, x, SMALL_SPEC)
+    bf16 = unet_apply(params, x, SMALL_SPEC, compute_dtype=jnp.bfloat16)
+    assert bf16.dtype == jnp.float32  # logits upcast at the head
+    rel = np.abs(np.asarray(f32) - np.asarray(bf16)).max() / (
+        np.abs(np.asarray(f32)).max() + 1e-8)
+    assert rel < 0.05, rel

@@ -1,0 +1,43 @@
+"""Volume orientation views (the reference's ipynb_utils.py:53-138
+equivalents): 3-plane x 4-slice grids for eyeballing dataset orientation."""
+
+from pathlib import Path
+
+import numpy as np
+
+
+def plane_grid(vol, n_slices: int = 4):
+    """Slice index grid per axis: {axis: [i0..i3]}."""
+    vol = np.asarray(vol)
+    return {ax: np.linspace(0, vol.shape[ax] - 1, n_slices).astype(int)
+            for ax in range(3)}
+
+
+def show_planes(vol, title: str = "", n_slices: int = 4, save_path=None):
+    """Render a 3x4 grid of orthogonal slices; returns the figure."""
+    import matplotlib
+    if save_path is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    vol = np.asarray(vol)
+    assert vol.ndim == 3, vol.shape
+    fig, axes = plt.subplots(3, n_slices, figsize=(3 * n_slices, 9))
+    for row, (ax_idx, idxs) in enumerate(plane_grid(vol, n_slices).items()):
+        for col, i in enumerate(idxs):
+            sl = np.take(vol, i, axis=ax_idx)
+            axes[row, col].imshow(sl, cmap="gray")
+            axes[row, col].set_title(f"axis{ax_idx}[{i}]")
+            axes[row, col].axis("off")
+    fig.suptitle(title)
+    if save_path is not None:
+        fig.savefig(save_path)
+        plt.close(fig)
+    return fig
+
+
+def show_image_file(path, **kw):
+    from dg_tta_tpu.data.nifti import read_nifti
+    data, props = read_nifti(path)
+    return show_planes(data[0], title=f"{Path(path).name} "
+                                      f"spacing={props['spacing']}", **kw)

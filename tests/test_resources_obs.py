@@ -1,0 +1,63 @@
+"""Resources scaffolds, notebook generation, views, wandb guard, timers."""
+
+import json
+
+import numpy as np
+
+from dg_tta_tpu.obs.timers import PhaseTimer
+from dg_tta_tpu.obs.views import plane_grid, show_planes
+from dg_tta_tpu.obs.wandb_log import wandb_log, wandb_run_is_available
+from dg_tta_tpu.resources import (
+    TRAINER_DIRS,
+    materialize_scaffold,
+    write_check_notebook,
+)
+
+
+def test_materialize_scaffold(tmp_path):
+    for trainer_dir in TRAINER_DIRS[:2]:
+        out = tmp_path / trainer_dir
+        materialize_scaffold(trainer_dir, out)
+        plans = json.load(open(out / "plans.json"))
+        cfg = plans["configurations"]["3d_fullres"]
+        assert cfg["patch_size"] == [112, 112, 128]
+        assert cfg["UNet_base_num_features"] == 32
+        assert (out / "dataset.json").is_file()
+
+
+def test_write_check_notebook(tmp_path):
+    nb_path = tmp_path / "check.ipynb"
+    write_check_notebook(nb_path)
+    nb = json.load(open(nb_path))
+    assert nb["nbformat"] == 4
+    kinds = [c["cell_type"] for c in nb["cells"]]
+    assert kinds[0] == "markdown" and "code" in kinds
+    src = "".join("".join(c["source"]) for c in nb["cells"])
+    assert "modify_tta_input_fn" in src and "allclose" in src
+
+
+def test_plane_grid_and_show(tmp_path):
+    vol = np.random.default_rng(0).normal(size=(10, 12, 14))
+    grid = plane_grid(vol)
+    assert set(grid) == {0, 1, 2}
+    assert grid[0][0] == 0 and grid[0][-1] == 9
+    out = tmp_path / "planes.png"
+    show_planes(vol, "test", save_path=out)
+    assert out.stat().st_size > 0
+
+
+def test_wandb_guard_noop():
+    # wandb is absent in this image: guard must short-circuit cleanly
+    assert wandb_run_is_available() is False
+    wandb_log({"x": 1})  # must not raise
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    s = t.summary()
+    assert s["a"]["count"] == 2
+    assert "a" in t.report()

@@ -294,8 +294,15 @@ def tta_one_volume(
             else:
                 loss = fwd_v(params_c[c], ks[c], vols_padded, true_shapes)
             if labels_padded is not None:
-                dice = eval_v(params_c[c], ks_ev[c], vols_padded,
-                              true_shapes, labels_padded)
+                # tta_eval_patches averages repeated center-patch evals —
+                # identical draws except for MIND descriptor noise
+                # (tta.py:285-338 uses fixed "center" patches)
+                evals = []
+                for e in range(plan.tta_eval_patches):
+                    kse = jax.vmap(jax.random.fold_in, (0, None))(ks_ev[c], e)
+                    evals.append(eval_v(params_c[c], kse, vols_padded,
+                                        true_shapes, labels_padded))
+                dice = jnp.mean(jnp.stack(evals), axis=0)
             else:
                 dice = jnp.full((chunk,), jnp.nan)
             loss_parts.append(loss)

@@ -1,0 +1,140 @@
+"""Driver-mode coverage: across-all-samples TTA, MIND trainer end-to-end,
+modifier functions, eval-patch averaging."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_pipeline_e2e import (
+    MINI_PLANS,
+    SRC_LABELS,
+    TGT_LABELS,
+    make_volume,
+)
+from dg_tta_tpu.data.nifti import write_nifti
+from dg_tta_tpu.models.convert import params_to_flat_npz
+from dg_tta_tpu.models.network import build_model
+
+
+def build_workspace(tmp_path, monkeypatch, trainer):
+    root = tmp_path / "root"
+    raw = tmp_path / "raw"
+    results = tmp_path / "results"
+    for d in (root, raw, results):
+        d.mkdir()
+    monkeypatch.setenv("DG_TTA_ROOT", str(root))
+    monkeypatch.setenv("nnUNet_raw", str(raw))
+    monkeypatch.setenv("nnUNet_results", str(results))
+
+    src = raw / "Dataset901_MiniSrc"
+    src.mkdir()
+    dsj_src = {"labels": SRC_LABELS, "channel_names": {"0": "CT"},
+               "file_ending": ".nii.gz"}
+    json.dump(dsj_src, open(src / "dataset.json", "w"))
+    model_dir = results / "Dataset901_MiniSrc" / \
+        f"{trainer}__nnUNetPlans__3d_fullres"
+    (model_dir / "fold_0").mkdir(parents=True)
+    json.dump(MINI_PLANS, open(model_dir / "plans.json", "w"))
+    json.dump(dsj_src, open(model_dir / "dataset.json", "w"))
+    model = build_model(MINI_PLANS, dsj_src, trainer)
+    params = model.init_params(jax.random.PRNGKey(0))
+    params_to_flat_npz(params, model_dir / "fold_0" / "checkpoint_final.npz")
+
+    tgt = raw / "Dataset902_MiniTgt"
+    (tgt / "imagesTs").mkdir(parents=True)
+    (tgt / "labelsTs").mkdir()
+    json.dump({"labels": TGT_LABELS, "channel_names": {"0": "MR"},
+               "file_ending": ".nii.gz"}, open(tgt / "dataset.json", "w"))
+    rng = np.random.default_rng(0)
+    for case in ("caseA", "caseB"):
+        vol, seg = make_volume(rng)
+        props = {"spacing": (1.5, 1.5, 1.5)}
+        write_nifti(tgt / "imagesTs" / f"{case}_0000.nii.gz", vol, props,
+                    dtype=np.float32)
+        write_nifti(tgt / "labelsTs" / f"{case}.nii.gz", seg, props)
+    return root
+
+
+def _prepare_and_edit(root, trainer, **plan_edits):
+    from dg_tta_tpu.cli.main import main
+    main(["prepare_tta", "901", "902", "--pretrainer", trainer,
+          "--pretrainer_config", "3d_fullres", "--pretrainer_fold", "0"])
+    plan_dir = (root / "plans" /
+                "Pretrained_Dataset901_MiniSrc_at_Dataset902_MiniTgt" /
+                f"{trainer}__3d_fullres" / "fold_0")
+    plan = json.load(open(plan_dir / "tta_plan.json"))
+    plan.update(epochs=1, patches_to_be_accumulated=1, ensemble_count=1,
+                lr=1e-3, **plan_edits)
+    json.dump(plan, open(plan_dir / "tta_plan.json", "w"))
+    return plan_dir
+
+
+def _run(trainer):
+    from dg_tta_tpu.cli.main import main
+    main(["run_tta", "901", "902", "--pretrainer", trainer,
+          "--pretrainer_config", "3d_fullres", "--pretrainer_fold", "0"])
+
+
+def test_across_all_samples(tmp_path, monkeypatch):
+    trainer = "nnUNetTrainer_GIN"
+    root = build_workspace(tmp_path, monkeypatch, trainer)
+    _prepare_and_edit(root, trainer, tta_across_all_samples=True)
+    _run(trainer)
+    results_dir = (root / "results" /
+                   "Pretrained_Dataset901_MiniSrc_at_Dataset902_MiniTgt" /
+                   f"{trainer}__3d_fullres" / "fold_0")
+    run_dir = next(results_dir.iterdir())
+    # one shared parameter set for all samples
+    assert (run_dir / "tta_output" /
+            "all_samples__ensemble_idx_0_tta_parameters.npz").is_file()
+    # but per-sample predictions still exist
+    assert (run_dir / "tta_outputTs" / "caseA.nii.gz").is_file()
+    assert (run_dir / "tta_outputTs" / "caseB.nii.gz").is_file()
+    assert (run_dir / "summary_Ts.json").is_file()
+
+
+def test_mind_trainer_e2e(tmp_path, monkeypatch):
+    trainer = "nnUNetTrainer_MIND"
+    root = build_workspace(tmp_path, monkeypatch, trainer)
+    _prepare_and_edit(root, trainer)
+    _run(trainer)
+    results_dir = (root / "results" /
+                   "Pretrained_Dataset901_MiniSrc_at_Dataset902_MiniTgt" /
+                   f"{trainer}__3d_fullres" / "fold_0")
+    run_dir = next(results_dir.iterdir())
+    summary = json.load(open(run_dir / "summary_Ts.json"))
+    assert np.isfinite(summary["foreground_mean"]["Dice"])
+
+
+def test_modifier_functions_are_applied(tmp_path, monkeypatch):
+    trainer = "nnUNetTrainer_GIN"
+    root = build_workspace(tmp_path, monkeypatch, trainer)
+    plan_dir = _prepare_and_edit(root, trainer)
+    # modifier that flips the volume along depth on input and flips logits
+    # back on output — the roundtrip should leave results valid
+    (plan_dir / "modifier_functions.py").write_text(
+        "import pathlib\nimport jax.numpy as jnp\n\n"
+        "class ModifierFunctions:\n"
+        "    @staticmethod\n"
+        "    def modify_tta_input_fn(image):\n"
+        "        return jnp.flip(image, axis=1)\n"
+        "    @staticmethod\n"
+        "    def modify_tta_model_output_fn(pred):\n"
+        "        return pred\n"
+        "    @staticmethod\n"
+        "    def modify_tta_output_after_mapping_fn(mapped):\n"
+        "        return jnp.flip(mapped, axis=1)\n"
+        "    @staticmethod\n"
+        "    def postprocess_results_fn(results_dir):\n"
+        "        (pathlib.Path(results_dir) / 'POSTPROCESSED').touch()\n")
+    _run(trainer)
+    results_dir = (root / "results" /
+                   "Pretrained_Dataset901_MiniSrc_at_Dataset902_MiniTgt" /
+                   f"{trainer}__3d_fullres" / "fold_0")
+    run_dir = next(results_dir.iterdir())
+    assert (run_dir / "tta_outputTs" / "POSTPROCESSED").is_file()
+    summary = json.load(open(run_dir / "summary_Ts.json"))
+    assert np.isfinite(summary["foreground_mean"]["Dice"])

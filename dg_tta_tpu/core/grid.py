@@ -104,9 +104,11 @@ def grid_sample(
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
         lin = (zc * H + yc) * W + xc  # (B, Do, Ho, Wo)
-        lin2 = lin.reshape(B, 1, -1)  # (B, 1, N)
-        vals = jnp.take_along_axis(
-            flat, jnp.broadcast_to(lin2, (B, C, lin2.shape[-1])), axis=2)
+        lin2 = lin.reshape(B, -1)     # (B, N)
+        # per-batch gather with indices SHARED across channels: (C, DHW)
+        # taken at (N,) -> (C, N); avoids materializing (B, C, N) index
+        # arrays that a broadcast take_along_axis would create
+        vals = jax.vmap(lambda f, i: jnp.take(f, i, axis=1))(flat, lin2)
         if padding_mode == "zeros":
             scale = inb.astype(vol.dtype) if w is None else w * inb.astype(vol.dtype)
         else:

@@ -194,6 +194,26 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
         params = model.init_params(key)
     opt_state = tx.init(params)
 
+    # host-side prefetch: sampling (numpy, IO) overlaps device compute
+    import queue
+    import threading
+
+    batch_q: "queue.Queue" = queue.Queue(maxsize=4)
+    stop_flag = threading.Event()
+
+    def _producer():
+        while not stop_flag.is_set():
+            b = sampler.batch(batch_size)
+            while not stop_flag.is_set():
+                try:
+                    batch_q.put(b, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    producer = threading.Thread(target=_producer, daemon=True)
+    producer.start()
+
     log_path = out_dir / "training_log.jsonl"
     for epoch in range(start_epoch, num_epochs):
         lr = poly_lr(INITIAL_LR, epoch, num_epochs)
@@ -201,7 +221,7 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
         losses = []
         for it in range(iters_per_epoch):
             key, k_step = jax.random.split(key)
-            imgs, segs = sampler.batch(batch_size)
+            imgs, segs = batch_q.get()
             params, opt_state, loss = step(
                 params, opt_state, k_step, shard_batch(jnp.asarray(imgs)),
                 shard_batch(jnp.asarray(segs.astype(np.float32))),
@@ -219,6 +239,7 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
         with open(out_dir / "training_state.json", "w") as f:
             json.dump({"epoch": epoch, "trainer": trainer_name}, f)
 
+    stop_flag.set()
     params_to_flat_npz(params, out_dir / "checkpoint_final.npz")
     if verbose:
         print(f"Training done -> {out_dir / 'checkpoint_final.npz'}")

@@ -44,11 +44,14 @@ def _conv(x, w, b, stride=(1, 1, 1)):
     # placement at stride 2 -- parity with nnUNet requires the explicit form)
     pad = [(w.shape[i] // 2, w.shape[i] // 2) for i in range(3)]
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, _DN)
+    # output dtype follows the compute dtype; the MXU accumulates in f32
+    # internally either way, and a f32 preferred_element_type would make the
+    # conv's transpose (grad) rule mix bf16/f32 operand dtypes
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=pad, dimension_numbers=dn,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
-    return (out + b).astype(x.dtype)
+    return out + b
 
 
 def _conv_transpose(x, w, b, stride=(2, 2, 2)):

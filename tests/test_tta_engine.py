@@ -136,3 +136,44 @@ def test_deformable_spatial_aug_path():
                    ensemble_count=1, spatial_aug_type="deformable")
     _, (params, losses, _) = _run(plan)
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_across_volumes_mixed_shapes():
+    """Stacked volumes of different true shapes share one bucket; patches
+    honor each volume's true extent."""
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    v1 = synth_volume(rng, (24, 28, 20))
+    v2 = synth_volume(rng, (18, 22, 26))
+    from dg_tta_tpu.core.patches import bucket_shape_for, pad_to_bucket
+    bucket = bucket_shape_for((24, 28, 26))
+    vols = jnp.stack([pad_to_bucket(v1, bucket, float(v1.min())),
+                      pad_to_bucket(v2, bucket, float(v2.min()))])
+    shapes = jnp.asarray([[24.0, 28.0, 20.0], [18.0, 22.0, 26.0]])
+    plan = TTAPlan(epochs=2, patches_to_be_accumulated=2, lr=1e-3,
+                   ensemble_count=1, tta_across_all_samples=True)
+    params_out, losses, _ = tta_one_volume(
+        m, plan, params, vols, shapes, IDX3, IDX3, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_intensity_aug_disabled_matches_gin_none():
+    """intensity_aug_function='disabled' and do_intensity_aug_in='none' are
+    equivalent paths (INTENSITY_AUG_FUNCTION_DICT disabled = identity)."""
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    vol = synth_volume(rng)[None]
+    shapes = jnp.asarray([[24.0, 28.0, 20.0]])
+    outs = []
+    for kw in (dict(intensity_aug_function="disabled",
+                    do_intensity_aug_in="both"),
+               dict(intensity_aug_function="GIN",
+                    do_intensity_aug_in="none")):
+        plan = TTAPlan(epochs=1, patches_to_be_accumulated=2, lr=1e-3,
+                       ensemble_count=1, **kw)
+        p, losses, _ = tta_one_volume(m, plan, params, vol, shapes, IDX3,
+                                      IDX3, jax.random.PRNGKey(2))
+        outs.append(np.asarray(losses))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)

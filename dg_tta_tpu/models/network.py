@@ -52,7 +52,7 @@ class Model:
     compute_dtype: Optional[str] = None  # e.g. "bfloat16"; None = float32
 
     def apply(self, params, x, key=None, deep_supervision: bool = False,
-              internal_aug: bool = False):
+              internal_aug: bool = False, head_channel_idx=None):
         """Forward pass including the trainer's input transforms.
 
         Args:
@@ -71,7 +71,8 @@ class Model:
             x = mind3d(x, key=k_mind, noise_scale=self.mind_noise_scale)
         return unet_apply(params, x, self.spec,
                           deep_supervision=deep_supervision,
-                          compute_dtype=self.compute_dtype)
+                          compute_dtype=self.compute_dtype,
+                          head_channel_idx=head_channel_idx)
 
     def init_params(self, key, dtype=jnp.float32):
         return init_unet_params(key, self.spec, dtype)

@@ -92,7 +92,7 @@ def _conv_block(x, p, stride, spec):
 
 
 def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False,
-               compute_dtype=None):
+               compute_dtype=None, head_channel_idx=None):
     """Forward pass.
 
     Args:
@@ -110,6 +110,18 @@ def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False,
         # are cast back to f32 at the heads
         x = x.astype(compute_dtype)
         params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
+
+    def head(h, sl):
+        """Segmentation head; head_channel_idx folds the label-mapping
+        channel gather (torch_utils.py:214-227 logits mode) into the 1x1x1
+        conv's weights, so the full class-count logits never materialize
+        (105ch -> C_opt at TS104 scale saves ~600MB/branch in the TTA step).
+        """
+        w, b = sl["w"], sl["b"]
+        if head_channel_idx is not None:
+            w = jnp.take(w, head_channel_idx, axis=-1)
+            b = jnp.take(b, head_channel_idx, axis=0)
+        return _conv(h, w, b).astype(jnp.float32)
 
     skips = []
     h = x
@@ -135,13 +147,12 @@ def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False,
         lres = h
         if deep_supervision:
             sl = params["decoder"]["seg_layers"][d]
-            seg_outputs.append(
-                _conv(h, sl["w"], sl["b"]).astype(jnp.float32))
+            seg_outputs.append(head(h, sl))
     if deep_supervision:
         # nnUNet returns highest resolution first
         return seg_outputs[::-1]
     sl = params["decoder"]["seg_layers"][n_dec - 1]
-    return _conv(lres, sl["w"], sl["b"]).astype(jnp.float32)
+    return head(lres, sl)
 
 
 def init_unet_params(key, spec: ArchSpec, dtype=jnp.float32):

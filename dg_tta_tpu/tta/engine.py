@@ -144,8 +144,11 @@ def make_tta_functions(
 
         if modify_input_fn is not None:
             x = modify_input_fn(x)
-        logits = model.apply(params, x, key=k_model)
-        logits = map_label_logits(logits, map_pre)
+        # the label-mapping channel gather is folded into the seg head
+        # (weight gather) — identical to map_label_logits(model(x), map_pre)
+        # but the full class-count logits never materialize
+        logits = model.apply(params, x, key=k_model,
+                             head_channel_idx=map_pre)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
         if spatial:
@@ -206,8 +209,8 @@ def make_tta_functions(
                                    labels_padded=labels, fixed=True)
         if modify_input_fn is not None:
             imgs = modify_input_fn(imgs)
-        logits = model.apply(params, imgs, key=k_model)
-        logits = map_label_logits(logits, map_pre)
+        logits = model.apply(params, imgs, key=k_model,
+                             head_channel_idx=map_pre)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
         pred = jnp.argmax(logits, axis=-1)

@@ -72,13 +72,22 @@ def _conv_transpose(x, w, b, stride=(2, 2, 2)):
 def _instance_norm(x, scale, bias, eps):
     """InstanceNorm over spatial dims, per (sample, channel); affine.
 
-    Stats in float32 regardless of compute dtype (Dice-safe under bf16).
+    Reduction accumulation is float32 in every dtype.  Under bf16 the
+    elementwise math stays bf16 (E[x^2]-E[x]^2 form) — materializing f32
+    copies of full-res activations here was the dominant HBM cost of the
+    whole TTA step (hundreds of 200MB temporaries).
     """
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
-    y = (xf - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale + bias).astype(x.dtype)
+    if x.dtype == jnp.float32:
+        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        return y * scale + bias
+    mean32 = jnp.mean(x, axis=(1, 2, 3), keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jnp.square(x), axis=(1, 2, 3), keepdims=True,
+                  dtype=jnp.float32)
+    var = jnp.maximum(m2 - jnp.square(mean32), 0.0)
+    inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return (x - mean32.astype(x.dtype)) * (inv * scale) + bias
 
 
 def _leaky(x, slope):

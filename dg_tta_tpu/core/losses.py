@@ -39,6 +39,8 @@ def soft_dice_loss(sm_a, sm_b):
 def consistency_loss(logits_a, logits_b, start_class: int = 1):
     """The reference TTA loss (tta.py:262-269): mask to commonly-covered
     voxels, softmax both branches, 1 - mean foreground soft Dice."""
+    logits_a = logits_a.astype(jnp.float32)  # bf16-safe: loss math in f32
+    logits_b = logits_b.astype(jnp.float32)
     mask_a = (jnp.sum(logits_a, axis=-1, keepdims=True) > 0.0).astype(logits_a.dtype)
     mask_b = (jnp.sum(logits_b, axis=-1, keepdims=True) > 0.0).astype(logits_b.dtype)
     common = mask_a * mask_b

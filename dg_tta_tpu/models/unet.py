@@ -130,7 +130,8 @@ def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False,
         if head_channel_idx is not None:
             w = jnp.take(w, head_channel_idx, axis=-1)
             b = jnp.take(b, head_channel_idx, axis=0)
-        return _conv(h, w, b).astype(jnp.float32)
+        # logits stay in the compute dtype; losses/argmax upcast where needed
+        return _conv(h, w, b)
 
     skips = []
     h = x

@@ -23,6 +23,7 @@ def soft_dice_ce(logits, target, batch_dice: bool = True,
       logits: (B, D, H, W, C); target: (B, D, H, W) int labels.
     """
     C = logits.shape[-1]
+    logits = logits.astype(jnp.float32)  # bf16-safe: loss math in f32
     sm = jax.nn.softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(target, C, dtype=logits.dtype)
 

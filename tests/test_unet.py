@@ -202,7 +202,8 @@ def test_bf16_compute_close_to_f32():
         .astype(np.float32))
     f32 = unet_apply(params, x, SMALL_SPEC)
     bf16 = unet_apply(params, x, SMALL_SPEC, compute_dtype=jnp.bfloat16)
-    assert bf16.dtype == jnp.float32  # logits upcast at the head
+    assert bf16.dtype == jnp.bfloat16  # logits stay in compute dtype
+    bf16 = bf16.astype(jnp.float32)
     rel = np.abs(np.asarray(f32) - np.asarray(bf16)).max() / (
         np.abs(np.asarray(f32)).max() + 1e-8)
     assert rel < 0.05, rel

@@ -37,8 +37,9 @@ def _resize_trilinear(x, size_3d):
     """Trilinear resize matching F.interpolate(mode='trilinear',
     align_corners=False): sample at output-pixel centers with border clamp."""
     B = x.shape[0]
-    grid = identity_grid(size_3d, align_corners=False, dtype=x.dtype)
-    grid = jnp.broadcast_to(grid[None], (B, *size_3d, 3))
+    grid = tuple(jnp.broadcast_to(c[None], (B, *size_3d))
+                 for c in identity_grid(size_3d, align_corners=False,
+                                        dtype=x.dtype))
     return grid_sample(x, grid, mode="trilinear", padding_mode="border",
                        align_corners=False)
 
@@ -93,8 +94,10 @@ def calc_consistent_diffeomorphic_field(
     dt = 1.0 / time_steps
     steps = iter_steps_override if iter_steps_override else time_steps
 
-    identity = identity_grid((D, H, W), align_corners=True,
-                             dtype=disp_field.dtype)[None]
+    # packed (1, D, H, W, 3) identity for field-space arithmetic; internal to
+    # this jitted computation (the tuple convention applies at boundaries)
+    identity = jnp.stack(identity_grid((D, H, W), align_corners=True,
+                                       dtype=disp_field.dtype), axis=-1)[None]
 
     if ensure_inverse_consistency:
         ds = disp_field / dim_corr / (2**time_steps) * dt
@@ -135,9 +138,11 @@ def get_disp_field(key, batch_num, size_3d, factor: float = 0.1,
     """Random inverse-consistent displacement grids (normalized units).
 
     Reference: augmentation_utils.py:138-153 (with its latent kwarg bug fixed).
-    Returns (disp, inverse_disp) of shape (B, D, H, W, 3) as *grid offsets*
-    (add to an identity grid before grid_sample).
+    Returns (disp, inverse_disp), each an (x, y, z) tuple of (B, D, H, W)
+    grid offsets (add to an identity grid tuple before grid_sample).
     """
+    from dg_tta_tpu.core.grid import unpack_grid
+
     field = get_rf_field(key, batch_num, size_3d, num_fields=3,
                          interpolation_factor=interpolation_factor)
     STEPS = 5
@@ -145,8 +150,7 @@ def get_disp_field(key, batch_num, size_3d, factor: float = 0.1,
         field * factor, jnp.zeros_like(field), STEPS,
         ensure_inverse_consistency=True,
     )
-    # reference permutes (B,3,D,H,W)->(B,D,H,W,3); we are already channels-last
-    return disp, inv_disp
+    return unpack_grid(disp), unpack_grid(inv_disp)
 
 
 def get_rand_affine(key, batch_size: int, strength: float = 0.05,

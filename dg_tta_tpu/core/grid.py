@@ -6,10 +6,17 @@ torch_utils.py:55-73, augmentation_utils.py:84-129).  Implemented as pure XLA
 gather programs over channels-last volumes so they fuse into the surrounding
 jitted step; no data-dependent shapes.
 
+Grid representation — PERFORMANCE CRITICAL: sampling grids are tuples
+`(x, y, z)` of three (B, D, H, W) float arrays, NOT a packed (B, D, H, W, 3)
+tensor.  A trailing length-3 axis sits on the TPU's 128-wide lane dimension
+and pads every grid buffer ~42x (a 112x112x128 grid becomes ~820MB instead
+of 19MB), which dominated the whole TTA step before this change.  Use
+`pack_grid`/`unpack_grid` at torch-interop boundaries only.
+
 Conventions (kept torch-compatible so checkpoint/plan parity is testable):
   * volumes are channels-last: (B, D, H, W, C)
-  * grids are (B, D, H, W, 3) with the LAST axis in (x, y, z) order, where
-    x indexes W, y indexes H, z indexes D, normalized to [-1, 1]
+  * coordinates are xyz-ordered and normalized to [-1, 1]: x indexes W,
+    y indexes H, z indexes D
   * `align_corners` follows torch semantics exactly
 """
 
@@ -27,32 +34,56 @@ def _base_coords(size: int, align_corners: bool, dtype) -> jnp.ndarray:
     return (2.0 * jnp.arange(size, dtype=dtype) + 1.0) / size - 1.0
 
 
-def identity_grid(spatial_size, align_corners: bool = False, dtype=jnp.float32):
-    """Identity sampling grid of shape (D, H, W, 3), xyz-ordered last axis."""
+def identity_grid(spatial_size, align_corners: bool = False,
+                  dtype=jnp.float32):
+    """Identity grid as an (x, y, z) tuple of (D, H, W) arrays."""
     D, H, W = spatial_size
-    z = _base_coords(D, align_corners, dtype)
-    y = _base_coords(H, align_corners, dtype)
-    x = _base_coords(W, align_corners, dtype)
-    zz, yy, xx = jnp.meshgrid(z, y, x, indexing="ij")
-    return jnp.stack([xx, yy, zz], axis=-1)
+    z = _base_coords(D, align_corners, dtype)[:, None, None]
+    y = _base_coords(H, align_corners, dtype)[None, :, None]
+    x = _base_coords(W, align_corners, dtype)[None, None, :]
+    shape = (D, H, W)
+    return (jnp.broadcast_to(x, shape), jnp.broadcast_to(y, shape),
+            jnp.broadcast_to(z, shape))
 
 
 def affine_grid(theta, spatial_size, align_corners: bool = False):
-    """Sampling grid for a batch of affine maps, torch `F.affine_grid` semantics.
+    """Sampling grid for a batch of affine maps, torch `F.affine_grid`
+    semantics.
 
     Args:
       theta: (B, 3, 4) affine matrices acting on xyz-ordered homogeneous
         normalized coordinates.
       spatial_size: (D, H, W) of the output grid.
     Returns:
-      (B, D, H, W, 3) grid, xyz-ordered last axis.
+      (x, y, z) tuple of (B, D, H, W) arrays.
     """
     theta = jnp.asarray(theta)
     D, H, W = spatial_size
-    base = identity_grid((D, H, W), align_corners, theta.dtype)  # (D,H,W,3)
-    base = jnp.concatenate([base, jnp.ones((D, H, W, 1), theta.dtype)], axis=-1)
-    # out[b, d, h, w, i] = sum_j theta[b, i, j] * base[d, h, w, j]
-    return jnp.einsum("bij,dhwj->bdhwi", theta, base)
+    xb, yb, zb = identity_grid((D, H, W), align_corners, theta.dtype)
+    out = []
+    for i in range(3):
+        t = theta[:, i]  # (B, 4)
+        coord = (t[:, 0, None, None, None] * xb[None]
+                 + t[:, 1, None, None, None] * yb[None]
+                 + t[:, 2, None, None, None] * zb[None]
+                 + t[:, 3, None, None, None])
+        out.append(coord)
+    return tuple(out)  # x, y, z each (B, D, H, W)
+
+
+def pack_grid(grid):
+    """(x, y, z) tuple -> (B, D, H, W, 3) packed tensor (torch interop)."""
+    if isinstance(grid, (tuple, list)):
+        return jnp.stack(grid, axis=-1)
+    return grid
+
+
+def unpack_grid(grid):
+    """(…, 3) packed tensor or tuple -> (x, y, z) tuple."""
+    if isinstance(grid, (tuple, list)):
+        return tuple(grid)
+    assert grid.shape[-1] == 3, grid.shape
+    return (grid[..., 0], grid[..., 1], grid[..., 2])
 
 
 def _unnormalize(coord, size: int, align_corners: bool):
@@ -73,7 +104,8 @@ def grid_sample(
 
     Args:
       vol: (B, D, H, W, C) input volume.
-      grid: (B, Do, Ho, Wo, 3) normalized xyz coordinates.
+      grid: (x, y, z) tuple of (B, Do, Ho, Wo) normalized coordinates
+        (a packed (B, Do, Ho, Wo, 3) tensor is accepted for interop).
       mode: "trilinear" | "nearest".
       padding_mode: "zeros" | "border".
     Returns:
@@ -82,11 +114,12 @@ def grid_sample(
     assert mode in ("trilinear", "nearest"), mode
     assert padding_mode in ("zeros", "border"), padding_mode
     B, D, H, W, C = vol.shape
-    out_spatial = grid.shape[1:4]
+    gx, gy, gz = unpack_grid(grid)
+    out_spatial = gx.shape[1:4]
 
-    x = _unnormalize(grid[..., 0], W, align_corners)
-    y = _unnormalize(grid[..., 1], H, align_corners)
-    z = _unnormalize(grid[..., 2], D, align_corners)
+    x = _unnormalize(gx, W, align_corners)
+    y = _unnormalize(gy, H, align_corners)
+    z = _unnormalize(gz, D, align_corners)
 
     # channels-first flat layout: gathers produce (B, C, N) so the huge N
     # axis sits on the 128-lane tile dimension — (B, N, C) with small C pads
@@ -114,7 +147,7 @@ def grid_sample(
         else:
             scale = w
         if scale is not None:
-            vals = vals * scale.reshape(B, 1, -1)
+            vals = vals * scale.reshape(B, 1, -1).astype(vol.dtype)
         return vals
 
     def to_out(flat_cn):

@@ -174,12 +174,18 @@ def init_unet_params(key, spec: ArchSpec, dtype=jnp.float32):
         std = gain / jnp.sqrt(fan_in)
         return std * jax.random.normal(k, shape, dtype)
 
-    keys = iter(jax.random.split(key, 4096))
+    # NOTE: not iter(jax.random.split(...)) — iterating a device array does
+    # host transfers that degrade the axon tunnel's dispatch path
+    _counter = [0]
+
+    def next_key():
+        _counter[0] += 1
+        return jax.random.fold_in(key, _counter[0])
 
     def block(cin, cout, ksize):
         return {
             "conv": {
-                "w": conv_init(next(keys), (*ksize, cin, cout)),
+                "w": conv_init(next_key(), (*ksize, cin, cout)),
                 "b": jnp.zeros((cout,), dtype),
             },
             "norm": {
@@ -206,7 +212,7 @@ def init_unet_params(key, spec: ArchSpec, dtype=jnp.float32):
         here = feats[spec.n_stages - 2 - d]       # features at this skip level
         up_stride = spec.strides[spec.n_stages - 1 - d]
         transpconvs.append({
-            "w": conv_init(next(keys), (*up_stride, here, below)),
+            "w": conv_init(next_key(), (*up_stride, here, below)),
             "b": jnp.zeros((here,), dtype),
         })
         convs = []
@@ -216,7 +222,7 @@ def init_unet_params(key, spec: ArchSpec, dtype=jnp.float32):
                                spec.kernel_sizes[spec.n_stages - 2 - d]))
         dec_stages.append({"convs": convs})
         seg_layers.append({
-            "w": conv_init(next(keys), (1, 1, 1, here, spec.num_classes)),
+            "w": conv_init(next_key(), (1, 1, 1, here, spec.num_classes)),
             "b": jnp.zeros((spec.num_classes,), dtype),
         })
 

@@ -111,14 +111,17 @@ def _lowres_sim(x, zoom, patch_size):
     # zoom: (3,) factors <= 1. Downsample to round(size*zoom) would be a
     # dynamic shape; instead sample the full-size grid from a nearest-
     # neighbor grid quantized to the low-res lattice.
-    base = identity_grid(patch_size, align_corners=False)  # (D,H,W,3) xyz
-    sizes = jnp.asarray([W, H, D], jnp.float32)
-    low = jnp.maximum(jnp.round(sizes * zoom[::-1]), 1.0)
-    # voxel index on the low-res lattice (align_corners=False convention)
-    u = (base + 1.0) * 0.5 * low - 0.5
-    u = jnp.round(u)
-    centers = (2.0 * u + 1.0) / low - 1.0
-    return grid_sample(x[None], centers[None], mode="trilinear",
+    base = identity_grid(patch_size, align_corners=False)  # (x, y, z) tuple
+    # zoom is (3,) in (D, H, W) order; grid components are xyz-ordered
+    sizes = (float(W), float(H), float(D))
+    zooms = (zoom[2], zoom[1], zoom[0])
+    centers = []
+    for c, size, zm in zip(base, sizes, zooms):
+        low = jnp.maximum(jnp.round(size * zm), 1.0)
+        # voxel index on the low-res lattice (align_corners=False convention)
+        u = jnp.round((c + 1.0) * 0.5 * low - 0.5)
+        centers.append(((2.0 * u + 1.0) / low - 1.0)[None])
+    return grid_sample(x[None], tuple(centers), mode="trilinear",
                        padding_mode="border", align_corners=False)[0]
 
 

@@ -44,9 +44,9 @@ def downsample_target(target, out_spatial):
     """Nearest-neighbor downsample of (B, D, H, W) int targets."""
     if tuple(target.shape[1:4]) == tuple(out_spatial):
         return target
-    grid = identity_grid(out_spatial, align_corners=False)
     B = target.shape[0]
-    grid = jnp.broadcast_to(grid[None], (B, *grid.shape))
+    grid = tuple(jnp.broadcast_to(c[None], (B, *out_spatial))
+                 for c in identity_grid(out_spatial, align_corners=False))
     out = grid_sample(target[..., None].astype(jnp.float32), grid,
                       mode="nearest", padding_mode="border",
                       align_corners=False)

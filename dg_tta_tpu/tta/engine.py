@@ -137,8 +137,9 @@ def make_tta_functions(
             else:
                 disp, disp_inv = get_disp_field(
                     k_sp, B, patch_size, factor=0.5, interpolation_factor=5)
-                grid = ident[None] + disp
-                grid_inv = ident[None] + disp_inv
+                grid = tuple(i[None] + d for i, d in zip(ident, disp))
+                grid_inv = tuple(i[None] + d
+                                 for i, d in zip(ident, disp_inv))
             x = grid_sample(x, grid, padding_mode="border",
                             align_corners=False)
 

@@ -43,10 +43,12 @@ def test_disp_field_inverse_consistency():
     size = (20, 20, 20)
     disp, inv_disp = get_disp_field(jax.random.PRNGKey(1), 1, size, factor=0.5,
                                     interpolation_factor=5)
+    disp = jnp.stack(disp, axis=-1)
+    inv_disp = jnp.stack(inv_disp, axis=-1)
     assert disp.shape == (1, *size, 3)
 
     # compose: warp inv_disp by disp and add -> should nearly cancel
-    ident = identity_grid(size, align_corners=True)[None]
+    ident = jnp.stack(identity_grid(size, align_corners=True), axis=-1)[None]
     # normalize to grid units for the composition check
     D, H, W = size
     norm = jnp.asarray([W, H, D], jnp.float32).reshape(1, 1, 1, 1, 3)

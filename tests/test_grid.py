@@ -20,7 +20,9 @@ def _rand_theta(rng, b):
 def test_affine_grid_matches_torch(rng, align_corners):
     theta = _rand_theta(rng, 2)
     size = (5, 6, 7)
-    ours = np.asarray(affine_grid(theta, size, align_corners=align_corners))
+    from dg_tta_tpu.core.grid import pack_grid
+    ours = np.asarray(pack_grid(affine_grid(theta, size,
+                                            align_corners=align_corners)))
     ref = F.affine_grid(
         torch.from_numpy(theta), [2, 1, *size], align_corners=align_corners
     ).numpy()
@@ -80,6 +82,6 @@ def test_grid_sample_nearest_matches_torch(rng):
 def test_identity_grid_roundtrip(rng):
     B, D, H, W, C = 1, 6, 6, 6, 2
     vol = rng.standard_normal((B, D, H, W, C)).astype(np.float32)
-    grid = identity_grid((D, H, W))[None]
+    grid = tuple(c[None] for c in identity_grid((D, H, W)))
     out = np.asarray(grid_sample(jnp.asarray(vol), grid))
     np.testing.assert_allclose(out, vol, atol=1e-5)

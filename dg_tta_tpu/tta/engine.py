@@ -26,6 +26,7 @@ Reference quirks preserved (documented):
 """
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -44,6 +45,39 @@ from dg_tta_tpu.tta.plan import TTAPlan
 
 def _in_branch(setting: str, branch_id: str) -> bool:
     return setting in (branch_id, "both")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _warp_with_inverse(x, grid, grid_inv, inv_det, padding_mode):
+    """grid_sample whose backward uses the analytically inverse warp.
+
+    The true VJP of a resample is a scatter-add — pathologically slow on
+    TPU.  For the TTA branch warps we always hold the exact inverse map
+    (affine theta_inv / inverse-consistent displacement field), and the
+    continuous adjoint of x -> x∘θ is y -> |det θ|^-1 · y∘θ^-1; with
+    near-identity warps the trilinear-discretization error of this adjoint
+    is O(h^2).  The TTA loss is itself a stochastic patch objective, so the
+    approximation changes gradients far less than one patch redraw.  Exact
+    autograd remains available via make_tta_functions(exact_warp_grad=True).
+    """
+    return grid_sample(x, grid, padding_mode=padding_mode,
+                       align_corners=False)
+
+
+def _wwi_fwd(x, grid, grid_inv, inv_det, padding_mode):
+    out = _warp_with_inverse(x, grid, grid_inv, inv_det, padding_mode)
+    return out, (grid_inv, inv_det)
+
+
+def _wwi_bwd(padding_mode, res, g):
+    grid_inv, inv_det = res
+    dx = grid_sample(g, grid_inv, padding_mode="zeros",
+                     align_corners=False)
+    dx = dx * jnp.reshape(inv_det, (-1,) + (1,) * (dx.ndim - 1)).astype(dx.dtype)
+    return dx, None, None, None
+
+
+_warp_with_inverse.defvjp(_wwi_fwd, _wwi_bwd)
 
 
 def params_with_grad_mask(params, mode: str):
@@ -99,6 +133,7 @@ def make_tta_functions(
     modify_output_fn: Optional[Callable] = None,
     num_tta_classes: Optional[int] = None,
     remat: bool = False,
+    exact_warp_grad: bool = False,
 ) -> TTAFunctions:
     """Build the jitted TTA step functions.
 
@@ -134,12 +169,16 @@ def make_tta_functions(
                 grid = affine_grid(theta, patch_size, align_corners=False)
                 grid_inv = affine_grid(theta_inv, patch_size,
                                        align_corners=False)
+                # adjoint scale of the INVERSE warp: 1/|det(theta_inv)|
+                adj_scale = jnp.abs(jnp.linalg.det(theta[:, :, :3]))
             else:
                 disp, disp_inv = get_disp_field(
                     k_sp, B, patch_size, factor=0.5, interpolation_factor=5)
                 grid = tuple(i[None] + d for i, d in zip(ident, disp))
                 grid_inv = tuple(i[None] + d
                                  for i, d in zip(ident, disp_inv))
+                # diffeomorphic near-identity field: |det(I + grad d)| ~ 1
+                adj_scale = jnp.ones((B,))
             x = grid_sample(x, grid, padding_mode="border",
                             align_corners=False)
 
@@ -153,8 +192,14 @@ def make_tta_functions(
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
         if spatial:
-            logits = grid_sample(logits, grid_inv, padding_mode="zeros",
-                                 align_corners=False)
+            if exact_warp_grad:
+                logits = grid_sample(logits, grid_inv, padding_mode="zeros",
+                                     align_corners=False)
+            else:
+                # backward = gather by the forward grid (exact inverse at
+                # hand), not a TPU-hostile scatter-add
+                logits = _warp_with_inverse(logits, grid_inv, grid,
+                                            adj_scale, "zeros")
         return logits
 
     # Rematerializing each branch halves peak activation memory: backward

@@ -177,3 +177,35 @@ def test_intensity_aug_disabled_matches_gin_none():
                                       IDX3, jax.random.PRNGKey(2))
         outs.append(np.asarray(losses))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+
+
+def test_fast_warp_adjoint_close_to_exact():
+    """The inverse-map adjoint (backward gather instead of scatter) must give
+    gradients close to exact autograd for the near-identity branch warps."""
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    vol = synth_volume(rng)[None]
+    shapes = jnp.asarray([[24.0, 28.0, 20.0]])
+    plan = TTAPlan(epochs=1, patches_to_be_accumulated=1, lr=1e-3,
+                   ensemble_count=1)
+
+    grads = {}
+    for exact in (True, False):
+        fns = make_tta_functions(m, plan, IDX3, IDX3, exact_warp_grad=exact)
+        # reach inside: value_and_grad of one fixed draw via epoch_train with
+        # SGD-free comparison -> run one train epoch from identical state and
+        # compare the parameter delta (proportional to the gradient step)
+        p_in = jax.tree.map(jnp.array, params)  # epoch_train donates its args
+        opt = fns.init_opt_state(p_in)
+        p2, _, loss = fns.epoch_train(p_in, opt, jax.random.PRNGKey(5),
+                                      vol, shapes)
+        grads[exact] = jax.tree.map(lambda a, b: np.asarray(a - b),
+                                    p2, params)
+
+    flat_e = np.concatenate([g.ravel() for g in jax.tree.leaves(grads[True])])
+    flat_f = np.concatenate([g.ravel() for g in jax.tree.leaves(grads[False])])
+    denom = np.linalg.norm(flat_e) * np.linalg.norm(flat_f)
+    cos = float(flat_e @ flat_f / (denom + 1e-12))
+    # AdamW normalizes magnitudes; direction agreement is the meaningful test
+    assert cos > 0.95, cos

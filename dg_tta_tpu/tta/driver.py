@@ -236,7 +236,9 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                 map_pre, map_tta, k_run, labels_padded=labs,
                 modify_input_fn=modify_input_fn,
                 modify_output_fn=modify_output_fn, log_fn=log_fn,
-                ensemble_chunk=1 if big else None, remat=big)
+                ensemble_chunk=1 if big else None, remat=big,
+                exact_warp_grad=bool(os.environ.get(
+                    "DGTTA_EXACT_WARP_GRAD")))
             jax.block_until_ready(jax.tree.leaves(adapted)[0])
 
         for i, mp in enumerate(member_paths):

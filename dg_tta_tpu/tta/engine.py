@@ -291,6 +291,7 @@ def tta_one_volume(
     log_fn: Optional[Callable] = None,
     ensemble_chunk: Optional[int] = None,
     remat: bool = False,
+    exact_warp_grad: bool = False,
 ) -> Tuple[Any, Any, Any]:
     """Adapt `ensemble_count` parameter sets on one volume (or, with
     tta_across_all_samples, on a stack of volumes).
@@ -311,7 +312,7 @@ def tta_one_volume(
     fns = make_tta_functions(
         model, plan, map_idxs_pretrain, map_idxs_tta,
         modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn,
-        remat=remat)
+        remat=remat, exact_warp_grad=exact_warp_grad)
 
     # one chunk of `chunk` members per device step; chunks run sequentially
     # (memory control for the full-size model on a single chip)

@@ -61,7 +61,7 @@ def main():
     model, vol_shape = flagship()
     epochs = int(os.environ.get("BENCH_EPOCHS", 12))
     chunk = int(os.environ.get("BENCH_ENSEMBLE_CHUNK", 1))
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     if os.environ.get("BENCH_BF16", "1") == "1":
         model = dataclasses.replace(model, compute_dtype="bfloat16")
     plan = TTAPlan(epochs=epochs)

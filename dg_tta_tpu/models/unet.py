@@ -40,18 +40,41 @@ _DN = ("NDHWC", "DHWIO", "NDHWC")
 
 
 def _conv(x, w, b, stride=(1, 1, 1)):
-    # torch-style symmetric padding k//2 (differs from XLA "SAME" window
-    # placement at stride 2 -- parity with nnUNet requires the explicit form)
-    pad = [(w.shape[i] // 2, w.shape[i] // 2) for i in range(3)]
-    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, _DN)
-    # output dtype follows the compute dtype; the MXU accumulates in f32
-    # internally either way, and a f32 preferred_element_type would make the
-    # conv's transpose (grad) rule mix bf16/f32 operand dtypes
-    out = jax.lax.conv_general_dilated(
-        x, w, window_strides=stride, padding=pad, dimension_numbers=dn,
-        preferred_element_type=x.dtype,
-    )
-    return out + b
+    """3D conv as a sum of kd shifted 2D convolutions (torch-style k//2
+    padding; parity with nnUNet requires the explicit form).
+
+    XLA:TPU lowers direct 3D convolutions at these channel counts through an
+    im2col-like path that multiplies HBM traffic ~7x (one 796-GFLOP U-Net
+    forward accessed 17.5 GiB); decomposing over the kernel's z-taps into 2D
+    convs (depth folded into the conv batch) is 2.5x faster end-to-end and
+    numerically identical up to accumulation order.  Output dtype follows the
+    compute dtype; the MXU accumulates in f32 internally either way, and an
+    f32 preferred_element_type would make the conv's transpose (grad) rule
+    mix bf16/f32 operand dtypes.
+    """
+    B, D, H, W, C = x.shape
+    kd, kh, kw, ci, co = w.shape
+    sz, sy, sx = stride
+    pz, py, px = kd // 2, kh // 2, kw // 2
+    oz = (D + 2 * pz - kd) // sz + 1
+
+    if pz:
+        x = jnp.pad(x, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
+    dn2 = jax.lax.conv_dimension_numbers(
+        (B * oz, H, W, C), (kh, kw, ci, co), ("NHWC", "HWIO", "NHWC"))
+    out = None
+    for kz in range(kd):
+        xs = jax.lax.slice(
+            x, (0, kz, 0, 0, 0),
+            (B, kz + sz * (oz - 1) + 1, H, W, C),
+            (1, sz, 1, 1, 1))
+        r = jax.lax.conv_general_dilated(
+            xs.reshape(B * oz, H, W, C), w[kz], (sy, sx),
+            [(py, py), (px, px)], dimension_numbers=dn2,
+            preferred_element_type=x.dtype)
+        out = r if out is None else out + r
+    oh, ow = out.shape[1:3]
+    return out.reshape(B, oz, oh, ow, co) + b
 
 
 def _conv_transpose(x, w, b, stride=(2, 2, 2)):

@@ -84,6 +84,17 @@ def _conv_transpose(x, w, b, stride=(2, 2, 2)):
     input channels, O = output channels); transpose_kernel=True makes
     lax.conv_transpose apply the torch-transposed-conv semantics exactly.
     """
+    kd, kh, kw = w.shape[:3]
+    if (kd, kh, kw) == tuple(stride):
+        # kernel == stride: every output voxel receives exactly one tap, so
+        # the transposed conv is a single matmul + sub-voxel interleave —
+        # no conv op (and none of XLA's transposed-conv lowering cost).
+        # w is (kd, kh, kw, I, O) torch orientation.
+        B, D, H, W, C = x.shape
+        o = w.shape[3]
+        out = jnp.einsum("bdhwi,zyxio->bdzhywxo", x, w)
+        out = out.reshape(B, D * kd, H * kh, W * kw, o)
+        return (out + b).astype(x.dtype)
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, _DN)
     out = jax.lax.conv_transpose(
         x, w, strides=stride, padding="VALID", dimension_numbers=dn,

@@ -89,10 +89,11 @@ def _conv_transpose(x, w, b, stride=(2, 2, 2)):
         # kernel == stride: every output voxel receives exactly one tap, so
         # the transposed conv is a single matmul + sub-voxel interleave —
         # no conv op (and none of XLA's transposed-conv lowering cost).
-        # w is (kd, kh, kw, I, O) torch orientation.
+        # w is (kd, kh, kw, c_out_up, c_in_below) torch orientation (module
+        # docstring): contraction over the LAST kernel axis.
         B, D, H, W, C = x.shape
         o = w.shape[3]
-        out = jnp.einsum("bdhwi,zyxio->bdzhywxo", x, w)
+        out = jnp.einsum("bdhwi,zyxoi->bdzhywxo", x, w)
         out = out.reshape(B, D * kd, H * kh, W * kw, o)
         return (out + b).astype(x.dtype)
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, _DN)

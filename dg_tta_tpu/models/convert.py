@@ -135,6 +135,41 @@ def load_torch_checkpoint(path):
     return torch.load(path, map_location="cpu", weights_only=False)
 
 
+def params_to_torch_state_dict(params):
+    """Inverse of `torch_state_dict_to_params`: emit an nnUNet-named
+    state_dict of numpy arrays (torch-layout weights), so TTA-adapted
+    parameters can be consumed by the original torch nnUNet (the reference
+    stores its TTA output as torch state_dicts, tta.py:364-365)."""
+    out = {}
+
+    def put_conv(prefix, blk):
+        out[f"{prefix}.conv.weight"] = np.asarray(
+            blk["conv"]["w"]).transpose(4, 3, 0, 1, 2)
+        out[f"{prefix}.conv.bias"] = np.asarray(blk["conv"]["b"])
+        out[f"{prefix}.norm.weight"] = np.asarray(blk["norm"]["scale"])
+        out[f"{prefix}.norm.bias"] = np.asarray(blk["norm"]["bias"])
+
+    # nnUNet naming: encoder stages are wrapped in an nn.Sequential (extra
+    # .0), decoder stages are bare StackedConvBlocks
+    for s, stage in enumerate(params["encoder"]["stages"]):
+        for c, blk in enumerate(stage["convs"]):
+            put_conv(f"encoder.stages.{s}.0.convs.{c}", blk)
+    for s, stage in enumerate(params["decoder"]["stages"]):
+        for c, blk in enumerate(stage["convs"]):
+            put_conv(f"decoder.stages.{s}.convs.{c}", blk)
+    for i, tc in enumerate(params["decoder"]["transpconvs"]):
+        # stored (kd, kh, kw, O_up, I_below); torch ConvTranspose3d wants
+        # (I, O, kd, kh, kw)
+        out[f"decoder.transpconvs.{i}.weight"] = np.asarray(
+            tc["w"]).transpose(4, 3, 0, 1, 2)
+        out[f"decoder.transpconvs.{i}.bias"] = np.asarray(tc["b"])
+    for i, sl in enumerate(params["decoder"]["seg_layers"]):
+        out[f"decoder.seg_layers.{i}.weight"] = np.asarray(
+            sl["w"]).transpose(4, 3, 0, 1, 2)
+        out[f"decoder.seg_layers.{i}.bias"] = np.asarray(sl["b"])
+    return out
+
+
 def flat_npz_to_params(path):
     """Inverse of `params_to_flat_npz`: rebuild the nested pytree (numeric
     path segments become list indices)."""

@@ -207,3 +207,19 @@ def test_bf16_compute_close_to_f32():
     rel = np.abs(np.asarray(f32) - np.asarray(bf16)).max() / (
         np.abs(np.asarray(f32)).max() + 1e-8)
     assert rel < 0.05, rel
+
+
+def test_torch_state_dict_roundtrip(torch_net):
+    from dg_tta_tpu.models.convert import (
+        params_to_torch_state_dict,
+        torch_state_dict_to_params,
+    )
+    params = torch_state_dict_to_params(torch_net.state_dict())
+    sd = params_to_torch_state_dict(params)
+    params2 = torch_state_dict_to_params(
+        {k: np.asarray(v) for k, v in sd.items()})
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # exported names match the torch module's own keys
+    ref_keys = {k for k in torch_net.state_dict().keys()}
+    assert set(sd.keys()) == ref_keys

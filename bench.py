@@ -52,6 +52,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".cache", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
     from dg_tta_tpu.core.patches import bucket_shape_for, pad_to_bucket
     from dg_tta_tpu.tta.engine import tta_one_volume
     from dg_tta_tpu.tta.plan import TTAPlan

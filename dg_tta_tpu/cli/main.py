@@ -9,6 +9,7 @@ installed package tree.
 
 import argparse
 import json
+import os
 import secrets
 import sys
 import time
@@ -153,8 +154,24 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: full-size TTA programs take ~10 min to
+    compile; cached reruns skip that entirely."""
+    if os.environ.get("DGTTA_COMPILE_CACHE", "1") != "1":
+        return
+    import jax
+    cache = os.environ.get(
+        "DGTTA_COMPILE_CACHE_DIR",
+        str(Path.home() / ".cache" / "dg_tta_tpu" / "xla"))
+    Path(cache).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.command in ("run_tta", "pretrain"):
+        _enable_compile_cache()
     args.fn(args)
 
 

@@ -53,27 +53,36 @@ def read_nifti(path):
         raw = f.read()
     hdr = raw[:HDR_SIZE]
     sizeof_hdr = struct.unpack_from("<i", hdr, 0)[0]
+    swapped = False
     if sizeof_hdr != HDR_SIZE:
-        raise ValueError(f"Not a little-endian NIfTI-1 file: {path}")
+        if struct.unpack_from(">i", hdr, 0)[0] == HDR_SIZE:
+            swapped = True  # big-endian file: swap header fields + data
+        else:
+            raise ValueError(f"Not a NIfTI-1 file: {path}")
+    end = ">" if swapped else "<"
+
+    def unpack(fmt, off):
+        return struct.unpack_from(end + fmt, hdr, off)
     magic = hdr[344:348]
     if magic[:2] not in (b"n+", b"ni"):
         raise ValueError(f"Bad NIfTI magic {magic!r}: {path}")
 
-    dim = struct.unpack_from("<8h", hdr, 40)
+    dim = unpack("8h", 40)
     ndim = dim[0]
     shape_xyz = [max(1, d) for d in dim[1: 1 + max(3, ndim)]]
-    datatype = struct.unpack_from("<h", hdr, 70)[0]
-    pixdim = struct.unpack_from("<8f", hdr, 76)
-    vox_offset = int(struct.unpack_from("<f", hdr, 108)[0])
-    scl_slope = struct.unpack_from("<f", hdr, 112)[0]
-    scl_inter = struct.unpack_from("<f", hdr, 116)[0]
-    sform_code = struct.unpack_from("<h", hdr, 254)[0]
-    srow = np.array(struct.unpack_from("<12f", hdr, 280),
-                    np.float64).reshape(3, 4)
+    datatype = unpack("h", 70)[0]
+    pixdim = unpack("8f", 76)
+    vox_offset = int(unpack("f", 108)[0])
+    scl_slope = unpack("f", 112)[0]
+    scl_inter = unpack("f", 116)[0]
+    sform_code = unpack("h", 254)[0]
+    srow = np.array(unpack("12f", 280), np.float64).reshape(3, 4)
 
     if datatype not in _DTYPES:
         raise ValueError(f"Unsupported NIfTI datatype {datatype}: {path}")
-    np_dtype = _DTYPES[datatype]
+    np_dtype = np.dtype(_DTYPES[datatype])
+    if swapped:
+        np_dtype = np_dtype.newbyteorder(">")
 
     nx, ny, nz = shape_xyz[0], shape_xyz[1], shape_xyz[2]
     nt = shape_xyz[3] if ndim >= 4 else 1

@@ -105,3 +105,25 @@ def test_preprocess_and_undo_roundtrip():
     assert seg.shape == (20, 24, 22)
     assert (seg[4:18, 5:20, 3:19] == 1).all()
     assert (seg[:4] == 0).all() and (seg[18:] == 0).all()
+
+
+def test_nifti_big_endian(tmp_path, rng):
+    """Byte-swapped (big-endian) NIfTI-1 files read correctly."""
+    vol = rng.normal(size=(1, 6, 7, 8)).astype(np.float32)
+    le = tmp_path / "le.nii"
+    write_nifti(le, vol, {"spacing": (2.0, 1.5, 1.0)}, dtype=np.float32)
+    raw = bytearray(le.read_bytes())
+    # byteswap header fields we read + the payload
+    import struct as st
+    def swap(fmt, off, n):
+        vals = st.unpack_from("<" + fmt, raw, off)
+        st.pack_into(">" + fmt, raw, off, *vals)
+    swap("i", 0, 1); swap("8h", 40, 8); swap("h", 70, 1); swap("h", 72, 1)
+    swap("8f", 76, 8); swap("f", 108, 1); swap("f", 112, 1); swap("f", 116, 1)
+    swap("h", 252, 1); swap("h", 254, 1); swap("3f", 268, 3); swap("12f", 280, 12)
+    payload = np.frombuffer(bytes(raw[352:]), np.float32).byteswap().tobytes()
+    be = tmp_path / "be.nii"
+    be.write_bytes(bytes(raw[:352]) + payload)
+    data, props = read_nifti(be)
+    np.testing.assert_allclose(data, vol, rtol=1e-6)
+    np.testing.assert_allclose(props["spacing"], (2.0, 1.5, 1.0))

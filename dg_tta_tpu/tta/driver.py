@@ -16,6 +16,7 @@ TPU-native re-implementation of `tta_main`
 
 import dataclasses
 import json
+import os
 import re
 import shutil
 from pathlib import Path
@@ -71,7 +72,6 @@ def load_pretrained_bundle(weights_file):
     with open(model_dir / "dataset.json") as f:
         dataset_json = json.load(f)
     model = build_model(plans, dataset_json, trainer, configuration)
-    import os
     cd = os.environ.get("DGTTA_COMPUTE_DTYPE")
     if cd:
         model = dataclasses.replace(model, compute_dtype=cd)

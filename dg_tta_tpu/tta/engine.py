@@ -155,14 +155,17 @@ def make_tta_functions(
     grads_enabled = plan.have_grad_in in ("branch_a", "both")
     ident = identity_grid(patch_size, align_corners=False)
 
-    def branch(params, key, imgs, branch_id):
-        k_int, k_sp, k_model = jax.random.split(key, 3)
+    def branch_aug(key, imgs, branch_id):
+        """Pre-model augmentation of one branch; returns the augmented input
+        and the (grid, grid_inv, adj_scale) needed to undo the warp."""
+        k_int, k_sp = jax.random.split(key)
         x = imgs
         if intensity_on and _in_branch(plan.do_intensity_aug_in, branch_id):
             from dg_tta_tpu.ops.gin import gin_aug
             x = gin_aug(k_int, x)
 
         spatial = _in_branch(plan.do_spatial_aug_in, branch_id)
+        warp_ctx = None
         if spatial:
             if plan.spatial_aug_type == "affine":
                 theta, theta_inv = get_rand_affine(k_sp, B)
@@ -181,7 +184,28 @@ def make_tta_functions(
                 adj_scale = jnp.ones((B,))
             x = grid_sample(x, grid, padding_mode="border",
                             align_corners=False)
+            warp_ctx = (grid, grid_inv, adj_scale)
+        return x, warp_ctx
 
+    def branch_unwarp(logits, warp_ctx):
+        if warp_ctx is None:
+            return logits
+        grid, grid_inv, adj_scale = warp_ctx
+        if exact_warp_grad:
+            return grid_sample(logits, grid_inv, padding_mode="zeros",
+                               align_corners=False)
+        # backward = gather by the forward grid (exact inverse at hand),
+        # not a TPU-hostile scatter-add
+        return _warp_with_inverse(logits, grid_inv, grid, adj_scale, "zeros")
+
+    def both_branches(params, key, imgs):
+        """Both branches through ONE batched model forward (2B batch): same
+        math as two separate forwards, but twice the conv batch for MXU
+        utilization and half the op dispatches."""
+        ka, kb, k_model = jax.random.split(key, 3)
+        xa, ctx_a = branch_aug(ka, imgs, "branch_a")
+        xb, ctx_b = branch_aug(kb, imgs, "branch_b")
+        x = jnp.concatenate([xa, xb], axis=0)
         if modify_input_fn is not None:
             x = modify_input_fn(x)
         # the label-mapping channel gather is folded into the seg head
@@ -191,31 +215,16 @@ def make_tta_functions(
                              head_channel_idx=map_pre)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
-        if spatial:
-            if exact_warp_grad:
-                logits = grid_sample(logits, grid_inv, padding_mode="zeros",
-                                     align_corners=False)
-            else:
-                # backward = gather by the forward grid (exact inverse at
-                # hand), not a TPU-hostile scatter-add
-                logits = _warp_with_inverse(logits, grid_inv, grid,
-                                            adj_scale, "zeros")
-        return logits
+        la, lb = logits[:B], logits[B:]
+        return branch_unwarp(la, ctx_a), branch_unwarp(lb, ctx_b)
 
-    # Rematerializing each branch halves peak activation memory: backward
-    # recomputes one branch's activations at a time instead of holding both
-    # U-Net forwards live (needed to fit the 112x112x128 TS104 model + grads
-    # in one v5e's HBM).
-    branch_a_fn = lambda p, k, x: branch(p, k, x, "branch_a")
-    branch_b_fn = lambda p, k, x: branch(p, k, x, "branch_b")
     if remat:
-        branch_a_fn = jax.checkpoint(branch_a_fn)
-        branch_b_fn = jax.checkpoint(branch_b_fn)
+        # recompute the batched forward during backward instead of holding
+        # its activations live (memory control for very large configs)
+        both_branches = jax.checkpoint(both_branches)
 
     def patch_loss(params, key, imgs):
-        ka, kb = jax.random.split(key)
-        la = branch_a_fn(params, ka, imgs)
-        lb = branch_b_fn(params, kb, imgs)
+        la, lb = both_branches(params, key, imgs)
         return consistency_loss(la, lb, start_class=1)
 
     def draw_and_loss(params, key, vols, shapes):

@@ -134,6 +134,7 @@ def make_tta_functions(
     num_tta_classes: Optional[int] = None,
     remat: bool = False,
     exact_warp_grad: bool = False,
+    patch_group: int = 1,
 ) -> TTAFunctions:
     """Build the jitted TTA step functions.
 
@@ -144,10 +145,18 @@ def make_tta_functions(
         (config_log_utils.py:44-69) as plain callables; input runs after the
         branch augmentation, before the model (hook order, model_utils.py:21-33),
         output runs after label mapping (tta.py:566).
+      patch_group: fold this many accumulation steps into the batch dimension
+        — mathematically identical (the consistency loss and the accumulated
+        gradient both average per-sample), but each device step carries
+        patch_group x more MXU work.  Must divide patches_to_be_accumulated.
+        Memory scales ~linearly with it.
     """
     patch_size = model.patch_size
-    B = plan.batch_size
-    n_acc = plan.patches_to_be_accumulated
+    assert plan.patches_to_be_accumulated % patch_group == 0, (
+        plan.patches_to_be_accumulated, patch_group)
+    B = plan.batch_size * patch_group
+    B_eval = plan.batch_size
+    n_acc = plan.patches_to_be_accumulated // patch_group
     map_pre = jnp.asarray(map_idxs_pretrain)
     map_tta = jnp.asarray(map_idxs_tta)
     n_opt = int(map_pre.shape[0])
@@ -260,7 +269,7 @@ def make_tta_functions(
     def eval_step(params, key, vols, shapes, labels):
         """Center-patch pseudo-Dice vs GT (tta.py:283-338)."""
         k_patch, k_model = jax.random.split(key)
-        imgs, labs = extract_batch(k_patch, vols, shapes, patch_size, B,
+        imgs, labs = extract_batch(k_patch, vols, shapes, patch_size, B_eval,
                                    labels_padded=labels, fixed=True)
         if modify_input_fn is not None:
             imgs = modify_input_fn(imgs)

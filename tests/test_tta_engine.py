@@ -209,3 +209,33 @@ def test_fast_warp_adjoint_close_to_exact():
     cos = float(flat_e @ flat_f / (denom + 1e-12))
     # AdamW normalizes magnitudes; direction agreement is the meaningful test
     assert cos > 0.95, cos
+
+
+def test_patch_group_equivalent_distribution():
+    """patch_group folds accumulation steps into the batch; the loss scale
+    and update magnitude must match the ungrouped run statistically."""
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    vol = synth_volume(rng)[None]
+    shapes = jnp.asarray([[24.0, 28.0, 20.0]])
+    plan = TTAPlan(epochs=1, patches_to_be_accumulated=4, lr=1e-3,
+                   ensemble_count=1, start_tta_at_epoch=0)
+
+    outs = {}
+    for g in (1, 2, 4):
+        fns = make_tta_functions(m, plan, IDX3, IDX3, patch_group=g)
+        p_in = jax.tree.map(jnp.array, params)
+        opt = fns.init_opt_state(p_in)
+        p2, _, loss = fns.epoch_train(p_in, opt, jax.random.PRNGKey(7), vol,
+                                      shapes)
+        delta = np.concatenate([
+            np.asarray(a - b).ravel()
+            for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params))])
+        outs[g] = (float(loss), float(np.linalg.norm(delta)))
+
+    losses = [outs[g][0] for g in (1, 2, 4)]
+    norms = [outs[g][1] for g in (1, 2, 4)]
+    # same distribution, different draws: loss values in the same ballpark
+    assert max(losses) < 3 * min(losses) + 1e-3, losses
+    assert max(norms) < 3 * min(norms), norms

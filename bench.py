@@ -87,9 +87,10 @@ def main():
     verbose = os.environ.get("BENCH_VERBOSE")
     log = (lambda e, l, d: print(f"  epoch {e} loss={np.mean(l):.4f}",
                                  file=sys.stderr)) if verbose else None
+    group = int(os.environ.get("BENCH_PATCH_GROUP", 2))
     run = lambda key: tta_one_volume(
         model, plan, params, padded, shapes, idx, idx, key,
-        ensemble_chunk=chunk, remat=remat, log_fn=log)
+        ensemble_chunk=chunk, remat=remat, log_fn=log, patch_group=group)
 
     # warm-up volume: pays all compilations
     out = run(jax.random.PRNGKey(1))

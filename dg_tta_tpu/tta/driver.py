@@ -239,7 +239,9 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                 modify_output_fn=modify_output_fn, log_fn=log_fn,
                 ensemble_chunk=1 if big else None, remat=False,
                 exact_warp_grad=bool(os.environ.get(
-                    "DGTTA_EXACT_WARP_GRAD")))
+                    "DGTTA_EXACT_WARP_GRAD")),
+                patch_group=int(os.environ.get(
+                    "DGTTA_PATCH_GROUP", 2 if big else 1)))
             jax.block_until_ready(jax.tree.leaves(adapted)[0])
 
         for i, mp in enumerate(member_paths):

@@ -310,6 +310,7 @@ def tta_one_volume(
     ensemble_chunk: Optional[int] = None,
     remat: bool = False,
     exact_warp_grad: bool = False,
+    patch_group: int = 1,
 ) -> Tuple[Any, Any, Any]:
     """Adapt `ensemble_count` parameter sets on one volume (or, with
     tta_across_all_samples, on a stack of volumes).
@@ -330,7 +331,8 @@ def tta_one_volume(
     fns = make_tta_functions(
         model, plan, map_idxs_pretrain, map_idxs_tta,
         modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn,
-        remat=remat, exact_warp_grad=exact_warp_grad)
+        remat=remat, exact_warp_grad=exact_warp_grad,
+        patch_group=patch_group)
 
     # one chunk of `chunk` members per device step; chunks run sequentially
     # (memory control for the full-size model on a single chip)

@@ -101,8 +101,12 @@ def _cmd_run_tta(args):
             sys.exit(f"No existing run with number {run_no} in {results_dir}")
         run_name = matches[-1].name
 
-    tta_main(run_name, plan, tta_data_dir, results_dir, label_mapping,
-             modifier_fn_module=modifier_mod)
+    from dg_tta_tpu.obs.wandb_log import wandb_run
+    wandb_run(
+        "dg_tta", lambda run_name, plan, **kw: tta_main(run_name, plan, **kw),
+        run_name=run_name, plan=plan, tta_data_dir=tta_data_dir,
+        save_base_path=results_dir, label_mapping=label_mapping,
+        modifier_fn_module=modifier_mod)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -56,6 +56,21 @@ WEIGHT_DECAY = 3e-5
 MOMENTUM = 0.99
 
 
+def make_val_step(model):
+    """Validation pseudo-Dice on un-augmented patches (the analog of
+    nnUNet's per-epoch val pseudo-dice)."""
+    from dg_tta_tpu.core.losses import dice_coeff
+
+    @jax.jit
+    def val_step(params, imgs, segs):
+        logits = model.apply(params, imgs)
+        pred = jnp.argmax(logits, axis=-1)
+        gt = segs[..., 0].astype(jnp.int32)
+        return jnp.nanmean(dice_coeff(pred, gt, model.spec.num_classes))
+
+    return val_step
+
+
 def make_train_step(model, da_cfg: DAConfig, batch_dice: bool = True):
     """One fused jitted step: DA -> GIN/MIND -> U-Net -> deep-sup loss ->
     SGD update.  lr is passed as data so poly decay never recompiles."""
@@ -157,9 +172,13 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
     if fold == "all":
         train_cases = sorted({c for s in splits for c in s["train"]}
                              | {c for s in splits for c in s["val"]})
+        val_cases = train_cases
     else:
         train_cases = splits[fold]["train"]
+        val_cases = splits[fold]["val"] or train_cases
     sampler = PatchSampler(store, train_cases, patch_size, seed=seed)
+    val_sampler = PatchSampler(store, val_cases, patch_size,
+                               oversample_fg=1.0, seed=seed + 1)
 
     model = build_model(plans, dataset_json, trainer_name, configuration)
     da_cfg = DAConfig(
@@ -167,6 +186,7 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                                if trainer_name in MULTIRES_TRAINERS else None))
     tx, step = make_train_step(model, da_cfg,
                                batch_dice=bool(cfg.get("batch_dice", True)))
+    val_step = make_val_step(model)
 
     # data parallelism: batch sharded over the mesh, params replicated;
     # XLA inserts the gradient all-reduce (the `-num_gpus` analog of the
@@ -228,12 +248,16 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                 jnp.float32(lr))
             losses.append(loss)
         mean_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
+        vi, vs = val_sampler.batch(batch_size)
+        val_dice = float(val_step(params, jnp.asarray(vi),
+                                  jnp.asarray(vs.astype(np.float32))))
         dt = time.perf_counter() - t0
         if verbose:
-            print(f"epoch {epoch:4d}  loss={mean_loss:.4f}  lr={lr:.2e}  "
-                  f"{dt:.1f}s")
+            print(f"epoch {epoch:4d}  loss={mean_loss:.4f}  "
+                  f"val_pseudo_dice={val_dice:.4f}  lr={lr:.2e}  {dt:.1f}s")
         with open(log_path, "a") as f:
             f.write(json.dumps({"epoch": epoch, "loss": mean_loss,
+                                "val_pseudo_dice": val_dice,
                                 "lr": lr, "seconds": dt}) + "\n")
         params_to_flat_npz(params, ckpt_latest)
         with open(out_dir / "training_state.json", "w") as f:

@@ -15,7 +15,7 @@ one compiled program serves every volume in a bucket.
 import jax
 import jax.numpy as jnp
 
-from dg_tta_tpu.core.grid import affine_grid, grid_sample
+from dg_tta_tpu.core.grid import affine_grid, grid_sample, _unnormalize
 
 
 def pad_to_bucket(vol, bucket_shape, pad_value=0.0):
@@ -98,6 +98,67 @@ def sample_with_affine(vol_padded, true_shape, theta, patch_size,
                        align_corners=False)
 
 
+def sample_unit_stride(vol_padded, true_shape, theta, patch_size,
+                       pad_with_min: bool = True):
+    """Fast trilinear path for patch_affine-style (diagonal) affines.
+
+    `patch_affine` builds theta = diag(patch/true) + translation, so the
+    sampling locations form an axis-aligned grid with EXACTLY unit voxel
+    spacing (d input_voxel / d output_voxel = (P/V)·(V/P) = 1) and one
+    constant fractional offset per axis.  Trilinear interpolation therefore
+    reduces to one contiguous `dynamic_slice` of a (P+1)³ block plus three
+    separable lerps with scalar weights — no gathers at all, where the
+    general `grid_sample` route costs 8 full-volume gathers (the TTA
+    profile's single largest cost).  Bit-for-bit the same sampling positions
+    as `sample_with_affine`; out-of-volume reads resolve to the volume
+    minimum exactly like the reference's min-shift + zero-pad trick
+    (torch_utils.py:58-62) because the low/high pad bands are written as 0
+    on the min-shifted volume.
+
+    Only `mode="trilinear"` lives here: nearest (labels) keeps the gather
+    route so exact-.5 coordinate ties keep torch's round-to-even semantics.
+    """
+    Dp, Hp, Wp, C = vol_padded.shape
+    Pd, Ph, Pw = patch_size
+    theta2 = _compose_pad_correction(theta, true_shape, vol_padded.shape[:3])
+
+    # start coordinate (input voxel of output voxel 0) per xyz axis
+    def start(ax, p_out, size_in):
+        s = theta2[0, ax, ax]
+        t = theta2[0, ax, 3]
+        base0 = 1.0 / p_out - 1.0  # first align_corners=False sample coord
+        return _unnormalize(s * base0 + t, size_in, False)
+
+    cx = start(0, Pw, Wp)
+    cy = start(1, Ph, Hp)
+    cz = start(2, Pd, Dp)
+
+    vmin = jnp.min(vol_padded) if pad_with_min else jnp.zeros(
+        (), vol_padded.dtype)
+    v = vol_padded - vmin
+    # pad by the patch size both ways: the start can reach (V-P)/2 < 0 and
+    # the +1-corner slice end (V+P)/2 + 1 > V when the true volume is
+    # smaller than the patch; anything less lets dynamic_slice clamp-shift
+    v = jnp.pad(v, ((Pd, Pd + 1), (Ph, Ph + 1), (Pw, Pw + 1), (0, 0)))
+
+    oz = jnp.floor(cz)
+    oy = jnp.floor(cy)
+    ox = jnp.floor(cx)
+    fz = (cz - oz).astype(v.dtype)
+    fy = (cy - oy).astype(v.dtype)
+    fx = (cx - ox).astype(v.dtype)
+    blk = jax.lax.dynamic_slice(
+        v,
+        (oz.astype(jnp.int32) + Pd, oy.astype(jnp.int32) + Ph,
+         ox.astype(jnp.int32) + Pw, jnp.int32(0)),
+        (Pd + 1, Ph + 1, Pw + 1, C),
+    )
+    blk = blk[:-1] * (1.0 - fz) + blk[1:] * fz
+    blk = blk[:, :-1] * (1.0 - fy) + blk[:, 1:] * fy
+    blk = blk[:, :, :-1] * (1.0 - fx) + blk[:, :, 1:] * fx
+    return blk[None] + vmin
+
+
 def extract_batch(key, vols_padded, true_shapes, patch_size, batch_size: int,
                   labels_padded=None, fixed: bool = False):
     """Sample a batch of patches from a stack of bucketed volumes.
@@ -121,9 +182,8 @@ def extract_batch(key, vols_padded, true_shapes, patch_size, batch_size: int,
 
     def one(i, k):
         theta = patch_affine(k, true_shapes[i], patch_size, fixed=fixed)
-        img = sample_with_affine(vols_padded[i], true_shapes[i], theta,
-                                 patch_size, mode="trilinear",
-                                 pad_with_min=True)[0]
+        img = sample_unit_stride(vols_padded[i], true_shapes[i], theta,
+                                 patch_size, pad_with_min=True)[0]
         if labels_padded is None:
             return img, jnp.zeros((), jnp.float32)
         lab = sample_with_affine(labels_padded[i], true_shapes[i], theta,
@@ -146,5 +206,8 @@ def extract_patch(vol_padded, true_shape, patch_size, key=None,
     one-hot channels (plain zero padding) and mode="nearest".
     """
     theta = patch_affine(key, true_shape, patch_size, fixed=fixed)
+    if mode == "trilinear":
+        return sample_unit_stride(vol_padded, true_shape, theta, patch_size,
+                                  pad_with_min=pad_with_min)
     return sample_with_affine(vol_padded, true_shape, theta, patch_size,
                               mode=mode, pad_with_min=pad_with_min)

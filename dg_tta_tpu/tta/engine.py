@@ -366,9 +366,14 @@ def tta_one_volume(
             if labels_padded is not None:
                 # tta_eval_patches averages repeated center-patch evals —
                 # identical draws except for MIND descriptor noise
-                # (tta.py:285-338 uses fixed "center" patches)
+                # (tta.py:285-338 uses fixed "center" patches).  Without MIND
+                # noise every repeat is bit-identical, so the mean of
+                # tta_eval_patches copies equals one eval — skip the repeats.
+                eval_reps = (plan.tta_eval_patches
+                             if (model.uses_mind and model.mind_noise_scale)
+                             else 1)
                 evals = []
-                for e in range(plan.tta_eval_patches):
+                for e in range(eval_reps):
                     kse = jax.vmap(jax.random.fold_in, (0, None))(ks_ev[c], e)
                     evals.append(eval_v(params_c[c], kse, vols_padded,
                                         true_shapes, labels_padded))

@@ -103,3 +103,31 @@ def test_bucket_padding_does_not_change_patch(rng):
     pa = np.asarray(extract_patch(small, ts, (12, 12, 12), key=key))
     pb = np.asarray(extract_patch(big, ts, (12, 12, 12), key=key))
     np.testing.assert_allclose(pa, pb, atol=1e-4)
+
+
+def test_unit_stride_fast_path_matches_gather_path(rng):
+    """sample_unit_stride (dynamic_slice + separable lerp) must reproduce the
+    general gather-based sample_with_affine bit-for-bit-sample positions for
+    patch_affine-style thetas — random offsets, volumes larger and smaller
+    than the patch, and bucket padding."""
+    from dg_tta_tpu.core.patches import (
+        patch_affine, sample_with_affine, sample_unit_stride)
+
+    for true_shape, patch in [((40, 37, 29), (16, 16, 16)),
+                              ((12, 40, 10), (16, 16, 16)),  # V < P on 2 axes
+                              ((33, 33, 33), (16, 12, 8))]:
+        vol = rng.normal(size=true_shape).astype(np.float32) + 3.0
+        bucket = bucket_shape_for(true_shape, multiple=16,
+                                  min_size=(16, 16, 16))
+        padded = pad_to_bucket(jnp.asarray(vol)[..., None], bucket,
+                               pad_value=float(vol.min()))
+        ts = jnp.asarray([float(s) for s in true_shape])
+        for i, fixed in [(0, True), (1, False), (2, False)]:
+            theta = patch_affine(jax.random.PRNGKey(i), ts, patch,
+                                 fixed=fixed)
+            ref = sample_with_affine(padded, ts, theta, patch,
+                                     mode="trilinear", pad_with_min=True)
+            fast = sample_unit_stride(padded, ts, theta, patch,
+                                      pad_with_min=True)
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                       rtol=0, atol=2e-5)

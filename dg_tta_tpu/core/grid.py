@@ -92,42 +92,50 @@ def _unnormalize(coord, size: int, align_corners: bool):
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
-@partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
-def grid_sample(
-    vol,
+def grid_sample_flat(
+    flat,
+    src_spatial,
     grid,
     mode: str = "trilinear",
     padding_mode: str = "zeros",
     align_corners: bool = False,
 ):
-    """Sample a channels-last volume at grid locations (torch `F.grid_sample`).
+    """grid_sample on a channels-first FLAT volume: (B, C, N) -> (B, C, N').
+
+    This is the TPU-fast form.  PERF (measured on v5e): XLA-TPU has a fast
+    dynamic-gather kernel (~0.03 ms / 1.6M f32 indices), but layout
+    assignment fuses any downstream transpose of the gather output INTO the
+    gather (kCustom transposing-gather), which falls back to a ~400x slower
+    serial emitter — even through optimization_barrier, and those fusions
+    were ~78% of the whole TTA adaptation step.  Keeping the result in
+    channels-first flat (B, C, N) means no transpose exists to fuse; the
+    consistency loss and the adjoint warp consume this layout directly.
+    The barriers keep index arithmetic and the corner weighting out of the
+    gather op itself (kLoop fusion with arithmetic hits the same slow
+    emitter).
 
     Args:
-      vol: (B, D, H, W, C) input volume.
-      grid: (x, y, z) tuple of (B, Do, Ho, Wo) normalized coordinates
-        (a packed (B, Do, Ho, Wo, 3) tensor is accepted for interop).
-      mode: "trilinear" | "nearest".
-      padding_mode: "zeros" | "border".
+      flat: (B, C, N) with N = D*H*W of `src_spatial`.
+      src_spatial: (D, H, W) of the SOURCE volume.
+      grid: (x, y, z) tuple of (B, Do, Ho, Wo) normalized coordinates.
     Returns:
-      (B, Do, Ho, Wo, C) resampled volume.
+      (B, C, N') with N' = Do*Ho*Wo, in output-voxel-linear order.
     """
     assert mode in ("trilinear", "nearest"), mode
     assert padding_mode in ("zeros", "border"), padding_mode
-    B, D, H, W, C = vol.shape
+    B, C, N = flat.shape
+    D, H, W = src_spatial
+    assert N == D * H * W, (flat.shape, src_spatial)
     gx, gy, gz = unpack_grid(grid)
-    out_spatial = gx.shape[1:4]
 
     x = _unnormalize(gx, W, align_corners)
     y = _unnormalize(gy, H, align_corners)
     z = _unnormalize(gz, D, align_corners)
 
-    # channels-first flat layout: gathers produce (B, C, N) so the huge N
-    # axis sits on the 128-lane tile dimension — (B, N, C) with small C pads
-    # C up to 128 and multiplies HBM temp 4-128x on TPU
-    flat = jnp.moveaxis(vol, -1, 1).reshape(B, C, D * H * W)
+    flat = jax.lax.optimization_barrier(flat)
 
     def gather(zi, yi, xi, w=None):
-        """Gather vol[b, :, lin(zi,yi,xi)] with clamping; weight/mask applied."""
+        """Gather flat[b, :, lin(zi,yi,xi)] with clamping; weight applied."""
         inb = (
             (zi >= 0) & (zi <= D - 1)
             & (yi >= 0) & (yi <= H - 1)
@@ -137,23 +145,20 @@ def grid_sample(
         yc = jnp.clip(yi, 0, H - 1)
         xc = jnp.clip(xi, 0, W - 1)
         lin = (zc * H + yc) * W + xc  # (B, Do, Ho, Wo)
-        lin2 = lin.reshape(B, -1)     # (B, N)
+        lin2 = jax.lax.optimization_barrier(lin.reshape(B, -1))  # (B, N')
         # per-batch gather with indices SHARED across channels: (C, DHW)
-        # taken at (N,) -> (C, N); avoids materializing (B, C, N) index
+        # taken at (N',) -> (C, N'); avoids materializing (B, C, N') index
         # arrays that a broadcast take_along_axis would create
         vals = jax.vmap(lambda f, i: jnp.take(f, i, axis=1))(flat, lin2)
+        vals = jax.lax.optimization_barrier(vals)
         if padding_mode == "zeros":
-            scale = inb.astype(vol.dtype) if w is None else w * inb.astype(vol.dtype)
+            scale = inb.astype(flat.dtype) if w is None else (
+                w * inb.astype(flat.dtype))
         else:
             scale = w
         if scale is not None:
-            vals = vals * scale.reshape(B, 1, -1).astype(vol.dtype)
+            vals = vals * scale.reshape(B, 1, -1).astype(flat.dtype)
         return vals
-
-    def to_out(flat_cn):
-        """(B, C, N) -> (B, Do, Ho, Wo, C)"""
-        return jnp.moveaxis(
-            flat_cn.reshape(B, C, *out_spatial), 1, -1)
 
     if mode == "nearest":
         # torch rounds half away from floor via round-to-nearest-even on the
@@ -162,7 +167,7 @@ def grid_sample(
         zi = jnp.round(z).astype(jnp.int32)
         yi = jnp.round(y).astype(jnp.int32)
         xi = jnp.round(x).astype(jnp.int32)
-        return to_out(gather(zi, yi, xi))
+        return gather(zi, yi, xi)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -175,7 +180,7 @@ def grid_sample(
     z0 = z0.astype(jnp.int32)
     x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1
 
-    out = (
+    return (
         gather(z0, y0, x0, (1 - tz) * (1 - ty) * (1 - tx))
         + gather(z0, y0, x1, (1 - tz) * (1 - ty) * tx)
         + gather(z0, y1, x0, (1 - tz) * ty * (1 - tx))
@@ -185,7 +190,41 @@ def grid_sample(
         + gather(z1, y1, x0, tz * ty * (1 - tx))
         + gather(z1, y1, x1, tz * ty * tx)
     )
-    return to_out(out)
+
+
+@partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
+def grid_sample(
+    vol,
+    grid,
+    mode: str = "trilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+):
+    """Sample a channels-last volume at grid locations (torch `F.grid_sample`).
+
+    Convenience wrapper over `grid_sample_flat` (the TPU-fast channels-first
+    form — see its docstring for why).  NOTE for hot paths: the moveaxis
+    back to channels-last below is a transpose that XLA may fuse into the
+    gathers, hitting the slow emitter; inside jitted training steps prefer
+    grid_sample_flat and keep consumers channels-first.
+
+    Args:
+      vol: (B, D, H, W, C) input volume.
+      grid: (x, y, z) tuple of (B, Do, Ho, Wo) normalized coordinates
+        (a packed (B, Do, Ho, Wo, 3) tensor is accepted for interop).
+      mode: "trilinear" | "nearest".
+      padding_mode: "zeros" | "border".
+    Returns:
+      (B, Do, Ho, Wo, C) resampled volume.
+    """
+    B, D, H, W, C = vol.shape
+    gx = unpack_grid(grid)[0]
+    out_spatial = gx.shape[1:4]
+    flat = jnp.moveaxis(vol, -1, 1).reshape(B, C, D * H * W)
+    out = grid_sample_flat(flat, (D, H, W), grid, mode=mode,
+                           padding_mode=padding_mode,
+                           align_corners=align_corners)
+    return jnp.moveaxis(out.reshape(B, C, *out_spatial), 1, -1)
 
 
 def warp(vol, disp_grid, **kw):

@@ -50,6 +50,34 @@ def consistency_loss(logits_a, logits_b, start_class: int = 1):
     return 1.0 - jnp.mean(dice[:, start_class:])
 
 
+def consistency_loss_flat(logits_a, logits_b, start_class: int = 1):
+    """`consistency_loss` on channels-first FLAT logits (B, C, N).
+
+    Identical math to the channels-last version (tta.py:262-269); exists so
+    the TTA hot path never transposes a warp-gather output back to
+    channels-last — XLA-TPU fuses that transpose into the gather and falls
+    off the fast gather kernel (see core/grid.py:grid_sample_flat).
+    """
+    logits_a = logits_a.astype(jnp.float32)
+    logits_b = logits_b.astype(jnp.float32)
+    mask_a = (jnp.sum(logits_a, axis=1, keepdims=True) > 0.0).astype(
+        logits_a.dtype)
+    mask_b = (jnp.sum(logits_b, axis=1, keepdims=True) > 0.0).astype(
+        logits_b.dtype)
+    common = mask_a * mask_b
+    sm_a = jax.nn.softmax(logits_a, axis=1) * common
+    sm_b = jax.nn.softmax(logits_b, axis=1) * common
+    nominator = jnp.mean(2.0 * sm_a * sm_b, axis=2)          # (B, C)
+    denominator = jnp.mean(0.5 * (sm_a + sm_b) ** 2, axis=2)  # (B, C)
+    dice = jnp.where(
+        jnp.sum(denominator) == 0.0,
+        jnp.ones_like(nominator),
+        nominator / jnp.where(denominator == 0.0, 1.0, denominator)
+        * (denominator != 0.0),
+    )
+    return 1.0 - jnp.mean(dice[:, start_class:])
+
+
 def dice_coeff(outputs, labels, max_label: int):
     """Per-foreground-class hard Dice (torch_utils.py:107-117).
 

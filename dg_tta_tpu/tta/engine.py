@@ -35,9 +35,11 @@ import numpy as np
 import optax
 
 from dg_tta_tpu.core.fields import get_disp_field, get_rand_affine
-from dg_tta_tpu.core.grid import affine_grid, grid_sample, identity_grid
+from dg_tta_tpu.core.grid import (affine_grid, grid_sample, grid_sample_flat,
+                                  identity_grid)
 from dg_tta_tpu.core.labels import map_label_argmaxed, map_label_logits
-from dg_tta_tpu.core.losses import consistency_loss, dice_coeff
+from dg_tta_tpu.core.losses import (consistency_loss, consistency_loss_flat,
+                                    dice_coeff)
 from dg_tta_tpu.core.patches import extract_batch
 from dg_tta_tpu.models.network import Model
 from dg_tta_tpu.tta.plan import TTAPlan
@@ -47,9 +49,13 @@ def _in_branch(setting: str, branch_id: str) -> bool:
     return setting in (branch_id, "both")
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _warp_with_inverse(x, grid, grid_inv, inv_det, padding_mode):
-    """grid_sample whose backward uses the analytically inverse warp.
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _warp_with_inverse(x, grid, grid_inv, inv_det, spatial, padding_mode):
+    """grid_sample_flat whose backward uses the analytically inverse warp.
+
+    Operates on channels-first FLAT (B, C, N) logits — the TPU-fast gather
+    form (core/grid.py:grid_sample_flat) — with N = prod(spatial) on both
+    sides (the TTA warps are endomorphisms of the patch).
 
     The true VJP of a resample is a scatter-add — pathologically slow on
     TPU.  For the TTA branch warps we always hold the exact inverse map
@@ -60,19 +66,20 @@ def _warp_with_inverse(x, grid, grid_inv, inv_det, padding_mode):
     approximation changes gradients far less than one patch redraw.  Exact
     autograd remains available via make_tta_functions(exact_warp_grad=True).
     """
-    return grid_sample(x, grid, padding_mode=padding_mode,
-                       align_corners=False)
+    return grid_sample_flat(x, spatial, grid, padding_mode=padding_mode,
+                            align_corners=False)
 
 
-def _wwi_fwd(x, grid, grid_inv, inv_det, padding_mode):
-    out = _warp_with_inverse(x, grid, grid_inv, inv_det, padding_mode)
+def _wwi_fwd(x, grid, grid_inv, inv_det, spatial, padding_mode):
+    out = _warp_with_inverse(x, grid, grid_inv, inv_det, spatial,
+                             padding_mode)
     return out, (grid_inv, inv_det)
 
 
-def _wwi_bwd(padding_mode, res, g):
+def _wwi_bwd(spatial, padding_mode, res, g):
     grid_inv, inv_det = res
-    dx = grid_sample(g, grid_inv, padding_mode="zeros",
-                     align_corners=False)
+    dx = grid_sample_flat(g, spatial, grid_inv, padding_mode="zeros",
+                          align_corners=False)
     dx = dx * jnp.reshape(inv_det, (-1,) + (1,) * (dx.ndim - 1)).astype(dx.dtype)
     return dx, None, None, None
 
@@ -191,26 +198,37 @@ def make_tta_functions(
                                  for i, d in zip(ident, disp_inv))
                 # diffeomorphic near-identity field: |det(I + grad d)| ~ 1
                 adj_scale = jnp.ones((B,))
-            x = grid_sample(x, grid, padding_mode="border",
-                            align_corners=False)
+            # warp in channels-first flat form (the TPU-fast gather layout;
+            # for the 1-channel input both moveaxis are free dim-1 permutes)
+            Cin = x.shape[-1]
+            xf = jnp.moveaxis(x, -1, 1).reshape(B, Cin, -1)
+            xf = grid_sample_flat(xf, patch_size, grid,
+                                  padding_mode="border", align_corners=False)
+            x = jnp.moveaxis(xf.reshape(B, Cin, *patch_size), 1, -1)
             warp_ctx = (grid, grid_inv, adj_scale)
         return x, warp_ctx
 
-    def branch_unwarp(logits, warp_ctx):
+    def branch_unwarp_flat(logits_flat, warp_ctx):
+        """Undo the branch warp on channels-first flat (B, C, N) logits."""
         if warp_ctx is None:
-            return logits
+            return logits_flat
         grid, grid_inv, adj_scale = warp_ctx
         if exact_warp_grad:
-            return grid_sample(logits, grid_inv, padding_mode="zeros",
-                               align_corners=False)
+            return grid_sample_flat(logits_flat, patch_size, grid_inv,
+                                    padding_mode="zeros",
+                                    align_corners=False)
         # backward = gather by the forward grid (exact inverse at hand),
         # not a TPU-hostile scatter-add
-        return _warp_with_inverse(logits, grid_inv, grid, adj_scale, "zeros")
+        return _warp_with_inverse(logits_flat, grid_inv, grid, adj_scale,
+                                  patch_size, "zeros")
 
     def both_branches(params, key, imgs):
         """Both branches through ONE batched model forward (2B batch): same
         math as two separate forwards, but twice the conv batch for MXU
-        utilization and half the op dispatches."""
+        utilization and half the op dispatches.  Returns channels-first
+        FLAT (B, C, N) logit pairs — unwarping and the consistency loss
+        stay in the gather-friendly layout (no transposed gather outputs,
+        see core/grid.py:grid_sample_flat)."""
         ka, kb, k_model = jax.random.split(key, 3)
         xa, ctx_a = branch_aug(ka, imgs, "branch_a")
         xb, ctx_b = branch_aug(kb, imgs, "branch_b")
@@ -224,8 +242,9 @@ def make_tta_functions(
                              head_channel_idx=map_pre)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
-        la, lb = logits[:B], logits[B:]
-        return branch_unwarp(la, ctx_a), branch_unwarp(lb, ctx_b)
+        lf = jnp.moveaxis(logits, -1, 1).reshape(2 * B, n_opt, -1)
+        la, lb = lf[:B], lf[B:]
+        return branch_unwarp_flat(la, ctx_a), branch_unwarp_flat(lb, ctx_b)
 
     if remat:
         # recompute the batched forward during backward instead of holding
@@ -233,8 +252,8 @@ def make_tta_functions(
         both_branches = jax.checkpoint(both_branches)
 
     def patch_loss(params, key, imgs):
-        la, lb = both_branches(params, key, imgs)
-        return consistency_loss(la, lb, start_class=1)
+        la, lb = both_branches(params, key, imgs)   # channels-first flat
+        return consistency_loss_flat(la, lb, start_class=1)
 
     def draw_and_loss(params, key, vols, shapes):
         k_patch, k_aug = jax.random.split(key)

@@ -87,7 +87,9 @@ def main():
     verbose = os.environ.get("BENCH_VERBOSE")
     log = (lambda e, l, d: print(f"  epoch {e} loss={np.mean(l):.4f}",
                                  file=sys.stderr)) if verbose else None
-    group = int(os.environ.get("BENCH_PATCH_GROUP", 2))
+    # group=1 measured faster than group=2 on v5e (PERF.md: the B=4 program
+    # runs ~2x slower per step than 2x the B=2 step)
+    group = int(os.environ.get("BENCH_PATCH_GROUP", 1))
     run = lambda key: tta_one_volume(
         model, plan, params, padded, shapes, idx, idx, key,
         ensemble_chunk=chunk, remat=remat, log_fn=log, patch_group=group)

@@ -240,8 +240,7 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                 ensemble_chunk=1 if big else None, remat=False,
                 exact_warp_grad=bool(os.environ.get(
                     "DGTTA_EXACT_WARP_GRAD")),
-                patch_group=int(os.environ.get(
-                    "DGTTA_PATCH_GROUP", 2 if big else 1)))
+                patch_group=int(os.environ.get("DGTTA_PATCH_GROUP", 1)))
             jax.block_until_ready(jax.tree.leaves(adapted)[0])
 
         for i, mp in enumerate(member_paths):

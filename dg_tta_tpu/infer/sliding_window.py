@@ -76,13 +76,20 @@ def window_origins(image_size, patch_size, step_fraction: float = 0.5,
 
 
 def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
-                                  dtype=jnp.float32):
+                                  dtype=jnp.float32, modify_input_fn=None,
+                                  modify_output_fn=None):
     """Build the jitted accumulation program.
 
     Returns fn(params_stacked, vol_padded, origins, valid) -> (D, H, W, C)
     Gaussian-normalized mean logits, where params_stacked has a leading
     ensemble axis and vol_padded is (D, H, W, C_in) already covered by the
     origin grid.
+
+    modify_input_fn / modify_output_fn are the user modifier functions: in the
+    reference they are forward-(pre-)hooks on the model object used by the
+    predictor (model_utils.py:21-35 via nnunet_utils.py:116-125), so they run
+    on every sliding-window patch at inference — orientation fixes stay active
+    during Phase 2.  Both take/return (B, D, H, W, C).
     """
     patch_size = model.patch_size
     gauss = jnp.asarray(compute_gaussian(patch_size))[..., None]
@@ -95,7 +102,13 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
         wacc = jnp.zeros((D, H, W, 1), dtype)
 
         def fwd(params, patch, k):
-            return model.apply(params, patch[None], key=k)[0]
+            x = patch[None]
+            if modify_input_fn is not None:
+                x = modify_input_fn(x)
+            logits = model.apply(params, x, key=k)
+            if modify_output_fn is not None:
+                logits = modify_output_fn(logits)
+            return logits[0]
 
         def body(carry, inp):
             acc, wacc = carry
@@ -128,27 +141,58 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
     return predict
 
 
+_PREDICTOR_CACHE = {}
+
+
+def get_cached_predictor(model, num_out_channels=None, dtype=jnp.float32,
+                         modify_input_fn=None, modify_output_fn=None):
+    """One jitted predictor per (model, out-channels, modifiers): jit's own
+    shape cache then buckets compilations — with `predict_volume`'s
+    bucket-padding, every volume sharing a (bucket shape, origin count)
+    reuses one compilation instead of recompiling per volume."""
+    key = (model, num_out_channels, jnp.dtype(dtype).name,
+           modify_input_fn, modify_output_fn)
+    if key not in _PREDICTOR_CACHE:
+        _PREDICTOR_CACHE[key] = make_sliding_window_predictor(
+            model, num_out_channels, dtype,
+            modify_input_fn=modify_input_fn,
+            modify_output_fn=modify_output_fn)
+    return _PREDICTOR_CACHE[key]
+
+
 def predict_volume(model, params_stacked, vol, key=None,
-                   step_fraction: float = 0.5, predictor=None):
+                   step_fraction: float = 0.5, predictor=None,
+                   modify_input_fn=None, modify_output_fn=None,
+                   bucket_multiple: int = 32):
     """Convenience wrapper: pad `vol` (D, H, W, C) to cover the window grid,
     run the jitted predictor, crop back.  Returns (D, H, W, C_out) logits.
 
     nnUNet pads symmetrically when the volume is smaller than the patch
     (predict_logits path via pad_nd_image); we pad at both ends with the
-    volume minimum for images.
+    volume minimum for images.  On top of that the padded shape is rounded
+    up to a multiple of `bucket_multiple` per axis so distinct volume shapes
+    share compilations (the pad band's logits are cropped away; the origin
+    grid covers the bucket so normalization inside the crop is exact).
     """
+    from dg_tta_tpu.core.patches import bucket_shape_for
+
     D, H, W, _ = vol.shape
     patch = model.patch_size
+    covered = [max(s, k) for s, k in zip((D, H, W), patch)]
+    if bucket_multiple > 1:
+        covered = bucket_shape_for(covered, multiple=bucket_multiple)
     pads = []
-    for s, k in zip((D, H, W), patch):
-        extra = max(0, k - s)
+    for s, target in zip((D, H, W), covered):
+        extra = target - s
         pads.append((extra // 2, extra - extra // 2))
     pads.append((0, 0))
     vmin = float(jnp.min(vol))
     volp = jnp.pad(vol, pads, constant_values=vmin)
     origins, valid = window_origins(volp.shape[:3], patch, step_fraction)
     if predictor is None:
-        predictor = make_sliding_window_predictor(model)
+        predictor = get_cached_predictor(
+            model, modify_input_fn=modify_input_fn,
+            modify_output_fn=modify_output_fn)
     if key is None:
         key = jax.random.PRNGKey(0)
     logits = predictor(params_stacked, volp, jnp.asarray(origins),

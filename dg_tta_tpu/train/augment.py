@@ -137,8 +137,15 @@ def _gamma(x, key, gamma_range, invert: bool):
 
 
 def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
-    """Augment one (D, H, W, C) image and (D, H, W, 1) seg patch."""
-    keys = jax.random.split(key, 12)
+    """Augment one (D, H, W, C) image and (D, H, W, 1) seg patch.
+
+    Every transform draws its Bernoulli gate and its magnitude from DISTINCT
+    keys — reusing one key for both correlates the decision with the value
+    (jax.random.uniform with the same key returns the same underlying
+    uniform, so e.g. a shared brightness key would fire the transform only
+    for multipliers in the low tail of its range).
+    """
+    keys = jax.random.split(key, 16)
 
     # ---- spatial: rotation + scale (shared grid for img & seg) ----------
     theta = _rand_rot_scale_affine(keys[0], cfg)
@@ -152,7 +159,7 @@ def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
     sig = jax.random.uniform(keys[1], (), minval=cfg.noise_sigma[0],
                              maxval=cfg.noise_sigma[1])
     noise = jax.random.normal(keys[2], img.shape) * sig
-    img = jnp.where(_bernoulli(keys[1], cfg.p_noise), img + noise, img)
+    img = jnp.where(_bernoulli(keys[11], cfg.p_noise), img + noise, img)
 
     # ---- Gaussian blur --------------------------------------------------
     bs = jax.random.uniform(keys[3], (), minval=cfg.blur_sigma[0],
@@ -163,13 +170,13 @@ def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
     # ---- brightness (multiplicative) ------------------------------------
     b = jax.random.uniform(keys[5], (), minval=cfg.brightness[0],
                            maxval=cfg.brightness[1])
-    img = jnp.where(_bernoulli(keys[5], cfg.p_brightness), img * b, img)
+    img = jnp.where(_bernoulli(keys[12], cfg.p_brightness), img * b, img)
 
     # ---- contrast (preserve mean) ---------------------------------------
     c = jax.random.uniform(keys[6], (), minval=cfg.contrast[0],
                            maxval=cfg.contrast[1])
     mean = jnp.mean(img)
-    img = jnp.where(_bernoulli(keys[6], cfg.p_contrast),
+    img = jnp.where(_bernoulli(keys[13], cfg.p_contrast),
                     (img - mean) * c + mean, img)
 
     # ---- low-resolution simulation -------------------------------------
@@ -191,9 +198,9 @@ def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
         img = _lowres_sim(img, zoom, patch_size)
 
     # ---- gamma (inverted, then plain) -----------------------------------
-    img = jnp.where(_bernoulli(keys[9], cfg.p_gamma_invert),
+    img = jnp.where(_bernoulli(keys[14], cfg.p_gamma_invert),
                     _gamma(img, keys[9], cfg.gamma_range, invert=True), img)
-    img = jnp.where(_bernoulli(keys[10], cfg.p_gamma),
+    img = jnp.where(_bernoulli(keys[15], cfg.p_gamma),
                     _gamma(img, keys[10], cfg.gamma_range, invert=False), img)
 
     return img, seg

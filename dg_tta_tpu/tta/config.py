@@ -64,13 +64,18 @@ class ModifierFunctions:
 
     @staticmethod
     def modify_tta_model_output_fn(pred_logits):
-        # Called directly after the model forward; (B, D, H, W, C_model).
+        # Called on the model's output logits during BOTH adaptation and
+        # sliding-window inference (the reference registers this as a
+        # forward hook on the model, model_utils.py:21-35): the inverse
+        # orientation fix of modify_tta_input_fn belongs here.  Must be a
+        # spatial-only transform (flip/permute); (B, D, H, W, C).
         assert pred_logits.ndim == 5
         return pred_logits
 
     @staticmethod
     def modify_tta_output_after_mapping_fn(mapped_logits):
-        # Called after logits are mapped to the optimized label set.
+        # Extra hook (not in the reference): called during ADAPTATION only,
+        # after logits are mapped to the optimized label set.
         assert mapped_logits.ndim == 5
         return mapped_logits
 

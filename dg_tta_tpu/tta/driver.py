@@ -157,7 +157,21 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
 
     mod = getattr(modifier_fn_module, "ModifierFunctions", None)
     modify_input_fn = getattr(mod, "modify_tta_input_fn", None)
-    modify_output_fn = getattr(mod, "modify_tta_output_after_mapping_fn", None)
+    # the reference's model-output hook (modfify_tta_model_output_fn,
+    # model_utils.py:21-35) runs on the raw logits BEFORE map_label
+    # (tta.py:561); here label mapping is folded into the seg head during
+    # adaptation, so the hook runs on mapped logits — equivalent for the
+    # spatial (flip/permute) modifiers the hook exists for, which commute
+    # with the channel gather.  At inference it runs on raw full-class
+    # logits, exactly like the reference.
+    modify_model_output_fn = getattr(mod, "modify_tta_model_output_fn", None)
+    modify_after_mapping_fn = getattr(
+        mod, "modify_tta_output_after_mapping_fn", None)
+    if modify_model_output_fn and modify_after_mapping_fn:
+        modify_output_fn = lambda x: modify_after_mapping_fn(
+            modify_model_output_fn(x))
+    else:
+        modify_output_fn = modify_model_output_fn or modify_after_mapping_fn
     postprocess_fn = getattr(mod, "postprocess_results_fn", lambda d: None)
 
     optimized_labels = list(plan.optimized_labels)
@@ -267,7 +281,13 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
             print(f"# Inference {sample.sample_id}")
         key, k_inf = jax.random.split(key)
         with timer.phase("inference"):
-            logits = predict_volume(model, stacked, vol, key=k_inf)
+            # modifier hooks stay active at inference (nnunet_utils.py:116-125
+            # uses the hooked model); the raw-logit output hook applies here,
+            # label mapping happens argmaxed after export (tta.py:407)
+            logits = predict_volume(
+                model, stacked, vol, key=k_inf,
+                modify_input_fn=modify_input_fn,
+                modify_output_fn=modify_model_output_fn)
             logits = np.asarray(logits)
         with timer.phase("export"):
             seg = undo_preprocessing_logits(logits, sample.info)

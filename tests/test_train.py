@@ -195,3 +195,63 @@ def test_run_pretraining_mini(mini_raw, tmp_path, monkeypatch):
                               continue_training=True)
     log = [json.loads(l) for l in open(out_dir / "training_log.jsonl")]
     assert log[-1]["epoch"] == 2
+
+
+def test_augment_gates_fire_at_nominal_rate_independent_of_magnitude():
+    """Each gated transform must fire at its nominal probability and with
+    magnitudes spanning the full configured range (regression for the r1
+    gate/value key-reuse bug, where e.g. brightness fired only for
+    multipliers in [0.75, 0.825] and noise only for sigma < 0.01)."""
+    N = 512
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, 8, 8, 1)).astype(np.float32)
+    imgs = jnp.broadcast_to(jnp.asarray(base), (N, 8, 8, 8, 1))
+    segs = jnp.zeros((N, 8, 8, 8, 1), jnp.float32)
+    off = dict(p_rotation=0, p_scale=0, p_noise=0, p_blur=0, p_brightness=0,
+               p_contrast=0, p_lowres=0, p_gamma_invert=0, p_gamma=0)
+
+    def run(**on):
+        cfg = DAConfig(**{**off, **on})
+        out, _ = jax.jit(lambda k: augment_batch(k, imgs, segs, cfg))(
+            jax.random.PRNGKey(11))
+        return np.asarray(out)
+
+    # --- brightness: recover the multiplier from fired samples -----------
+    out = run(p_brightness=0.5)
+    ratio = out.reshape(N, -1) / base.reshape(1, -1)
+    fired = ~np.all(np.isclose(ratio, 1.0, atol=1e-5), axis=1)
+    rate = fired.mean()
+    assert 0.4 < rate < 0.6, rate           # binomial(512, .5) 5 sigma ~ .11
+    mult = np.median(ratio[fired], axis=1)
+    assert mult.min() < 0.85 and mult.max() > 1.15, (mult.min(), mult.max())
+    assert abs(mult.mean() - 1.0) < 0.05, mult.mean()  # uniform(.75,1.25)
+
+    # --- noise: recover sigma from fired samples --------------------------
+    out = run(p_noise=0.5)
+    diff = (out.reshape(N, -1) - base.reshape(1, -1))
+    fired = np.abs(diff).max(axis=1) > 1e-5
+    assert 0.4 < fired.mean() < 0.6, fired.mean()
+    sigmas = diff[fired].std(axis=1)
+    # sigma ~ U(0, 0.1): mean 0.05, must span past the old 0.01 ceiling
+    assert sigmas.max() > 0.05 and abs(sigmas.mean() - 0.05) < 0.015, (
+        sigmas.mean(), sigmas.max())
+
+    # --- contrast: recover the factor --------------------------------------
+    out = run(p_contrast=0.5)
+    mean = base.mean()
+    fac = np.median((out.reshape(N, -1) - mean) / (base.reshape(1, -1) - mean),
+                    axis=1)
+    fired = ~np.isclose(fac, 1.0, atol=1e-4)
+    assert 0.4 < fired.mean() < 0.6, fired.mean()
+    assert fac[fired].min() < 0.85 and fac[fired].max() > 1.15
+
+    # --- gamma gates ---------------------------------------------------------
+    for kw in ("p_gamma", "p_gamma_invert"):
+        out = run(**{kw: 0.5})
+        fired = np.abs(out.reshape(N, -1) - base.reshape(1, -1)).max(axis=1) > 1e-5
+        assert 0.4 < fired.mean() < 0.6, (kw, fired.mean())
+
+    # --- blur gate -------------------------------------------------------
+    out = run(p_blur=0.5)
+    fired = np.abs(out.reshape(N, -1) - base.reshape(1, -1)).max(axis=1) > 1e-5
+    assert 0.4 < fired.mean() < 0.6, fired.mean()

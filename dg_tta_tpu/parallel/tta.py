@@ -54,3 +54,14 @@ def make_sharded_ensemble_eval(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
         out_specs=P(axis_name),
     )
     return jax.jit(sharded)
+
+
+def make_sharded_ensemble_fwd(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Warm-up epochs (no update) sharded like the train step."""
+    local = jax.vmap(fns.epoch_fwd.__wrapped__, in_axes=(0, 0, None, None))
+    sharded = shard_map(
+        local, mesh,
+        in_specs=(P(axis_name), P(axis_name), P(), P()),
+        out_specs=P(axis_name),
+    )
+    return jax.jit(sharded)

@@ -26,6 +26,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dg_tta_tpu.core.grid import affine_grid, grid_sample, identity_grid
 from dg_tta_tpu.ops.mind import gaussian_kernel_1d
@@ -101,6 +102,56 @@ def _blur_1d(x, sigma, axis):
 def _gaussian_blur(x, sigma):
     for ax in (0, 1, 2):
         x = _blur_1d(x, sigma, ax)
+    return x
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _lowres_axis_matrices(size: int, zooms: Tuple[float, ...]):
+    """Exact per-axis operators for the discrete low-res simulation.
+
+    The reference's SimulateDiscreteLowResolutionTransform
+    (discrete_downsampling.py:8-37 with nnUNetTrainer_GIN_MultiRes.py:62-67
+    params) does skimage.resize down (order 0, mode='edge', no AA) then up
+    (order 3): a LINEAR map of the input, separable per axis (nearest pick
+    and tensor-product cubic splines both are).  For a discrete zoom set the
+    per-axis composite is a fixed (size, size) matrix — computed here by
+    pushing the identity through the scipy oracle (skimage.resize without AA
+    delegates to scipy.ndimage.zoom(grid_mode=True, mode='nearest') for
+    mode='edge'), so the on-device einsum reproduces the reference EXACTLY
+    instead of the old trilinear-at-snapped-centers approximation.
+
+    Returns (len(zooms)+1, size, size) float32; the last entry is identity
+    (the p_per_sample gate's 'off' branch).
+    """
+    from scipy import ndimage
+
+    mats = []
+    for zm in zooms:
+        tgt = max(int(round(size * zm)), 1)
+        eye = np.eye(size, dtype=np.float64)
+        down = ndimage.zoom(eye, (tgt / size, 1.0), order=0, mode="nearest",
+                            grid_mode=True)
+        up = ndimage.zoom(down, (size / down.shape[0], 1.0), order=3,
+                          mode="nearest", grid_mode=True)
+        assert up.shape == (size, size), (up.shape, size, zm)
+        mats.append(up)
+    mats.append(np.eye(size, dtype=np.float64))
+    return np.stack(mats).astype(np.float32)
+
+
+def _discrete_lowres(x, zoom_idx, zoom_set, patch_size):
+    """Apply the exact discrete low-res operator, one matrix per axis.
+
+    Args:
+      x: (D, H, W, C); zoom_idx: (3,) int32 index into zoom_set+[identity].
+    """
+    for ax in range(3):
+        mats = jnp.asarray(_lowres_axis_matrices(patch_size[ax], zoom_set))
+        m = jnp.take(mats, zoom_idx[ax], axis=0)         # (size, size)
+        x = jnp.moveaxis(jnp.tensordot(m, x, axes=(1, ax)), 0, ax)
     return x
 
 
@@ -181,15 +232,17 @@ def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
 
     # ---- low-resolution simulation -------------------------------------
     if cfg.discrete_lowres_zooms is not None:
-        # MultiRes: per-axis independent choice from the discrete zoom set
-        # plus 1.0 (no-op), p_per_sample=0.5 (nnUNetTrainer_GIN_MultiRes.py:
-        # 58-71 via SimulateDiscreteLowResolutionTransform)
-        zoom_set = jnp.asarray(cfg.discrete_lowres_zooms)
-        zi = jax.random.randint(keys[7], (3,), 0, zoom_set.shape[0])
-        zoom = zoom_set[zi]
+        # MultiRes: per-axis independent choice from the discrete zoom set,
+        # identity when the p_per_sample=0.5 gate is off
+        # (nnUNetTrainer_GIN_MultiRes.py:58-71 via
+        # SimulateDiscreteLowResolutionTransform); applied as the EXACT
+        # order0-down/order3-up linear operator (see _lowres_axis_matrices)
+        n_zooms = len(cfg.discrete_lowres_zooms)
+        zi = jax.random.randint(keys[7], (3,), 0, n_zooms)
         do = _bernoulli(keys[8], 0.5)
-        zoom = jnp.where(do, zoom, 1.0)
-        img = _lowres_sim(img, zoom, patch_size)
+        zi = jnp.where(do, zi, n_zooms)  # last matrix = identity
+        img = _discrete_lowres(img, zi, tuple(cfg.discrete_lowres_zooms),
+                               patch_size)
     else:
         zoom = jax.random.uniform(keys[7], (3,), minval=cfg.lowres_zoom[0],
                                   maxval=cfg.lowres_zoom[1])

@@ -203,16 +203,32 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
 
     key = jax.random.PRNGKey(seed)
     ckpt_latest = out_dir / "checkpoint_latest.npz"
+    ckpt_opt = out_dir / "checkpoint_latest_optimizer.npz"
     start_epoch = 0
     if continue_training and ckpt_latest.is_file():
+        # full training-state resume (the nnUNet checkpoint contract carries
+        # optimizer state and RNG too): params + momentum trace + PRNG key —
+        # `--c` continues the exact optimization trajectory instead of
+        # silently resetting the 0.99 momentum trace
         params = flat_npz_to_params(ckpt_latest)
         meta = json.load(open(out_dir / "training_state.json"))
         start_epoch = meta["epoch"] + 1
+        opt_state = tx.init(params)
+        if ckpt_opt.is_file():
+            trace = flat_npz_to_params(ckpt_opt)
+            trace = jax.tree.map(lambda t, p: jnp.asarray(t, p.dtype),
+                                 trace, params)
+            opt_state = (opt_state[0], optax.TraceState(trace=trace))
+        elif verbose:
+            print("WARNING: no optimizer checkpoint found; momentum trace "
+                  "restarts from zero")
+        if "rng_key" in meta:
+            key = jnp.asarray(np.asarray(meta["rng_key"], dtype=np.uint32))
         if verbose:
             print(f"Resuming from epoch {start_epoch}")
     else:
         params = model.init_params(key)
-    opt_state = tx.init(params)
+        opt_state = tx.init(params)
 
     # host-side prefetch: sampling (numpy, IO) overlaps device compute
     import queue
@@ -260,8 +276,10 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                                 "val_pseudo_dice": val_dice,
                                 "lr": lr, "seconds": dt}) + "\n")
         params_to_flat_npz(params, ckpt_latest)
+        params_to_flat_npz(opt_state[1].trace, ckpt_opt)
         with open(out_dir / "training_state.json", "w") as f:
-            json.dump({"epoch": epoch, "trainer": trainer_name}, f)
+            json.dump({"epoch": epoch, "trainer": trainer_name,
+                       "rng_key": np.asarray(key).tolist()}, f)
 
     stop_flag.set()
     params_to_flat_npz(params, out_dir / "checkpoint_final.npz")

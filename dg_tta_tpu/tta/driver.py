@@ -204,7 +204,10 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
         param_id = group_id.split("/")[-1]
         member_paths = [get_parameters_save_path(sub_dir, param_id, i)
                         for i in range(plan.ensemble_count)]
-        if all(p.is_file() for p in member_paths):
+        # per-(sample, ensemble) resume granularity (tta.py:169-173): only
+        # members whose parameter files are missing are re-adapted
+        missing = [i for i, p in enumerate(member_paths) if not p.is_file()]
+        if not missing:
             if verbose:
                 print(f"TTA parameters exist, skipping {group_id}")
             continue
@@ -239,8 +242,19 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                                float(np.mean(dice))}, step=step)
 
         if verbose:
-            print(f"# TTA {group_id}")
-        key, k_run = jax.random.split(key)
+            print(f"# TTA {group_id} (members {missing})")
+        # group-id-derived key: a resumed run reproduces the exact PRNG
+        # streams of the members it re-adapts regardless of which other
+        # groups/members were skipped
+        k_run = jax.random.fold_in(key, smp_idx)
+
+        def save_member(m, params_m, loss_m, dice_m, sub_dir=sub_dir,
+                        param_id=param_id, member_paths=member_paths):
+            # saved as soon as the member's chunk finishes — a crash loses at
+            # most the chunk in flight, resume re-runs only missing members
+            params_to_flat_npz(params_m, member_paths[m])
+            plot_run_results(sub_dir, param_id, m, loss_m, dice_m)
+
         # memory heuristic: full-size models (>=1M-voxel patches) run one
         # ensemble member per device step; with the fast warp adjoint the
         # epoch fits v5e HBM without rematerialization (remat costs ~27%)
@@ -254,14 +268,9 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                 ensemble_chunk=1 if big else None, remat=False,
                 exact_warp_grad=bool(os.environ.get(
                     "DGTTA_EXACT_WARP_GRAD")),
-                patch_group=int(os.environ.get("DGTTA_PATCH_GROUP", 1)))
+                patch_group=int(os.environ.get("DGTTA_PATCH_GROUP", 1)),
+                member_indices=missing, save_member_fn=save_member)
             jax.block_until_ready(jax.tree.leaves(adapted)[0])
-
-        for i, mp in enumerate(member_paths):
-            member = jax.tree.map(lambda p: p[i], adapted)
-            params_to_flat_npz(member, mp)
-            plot_run_results(sub_dir, param_id, i,
-                             np.asarray(losses)[:, i], np.asarray(dices)[:, i])
 
     # ---- Phase 2: inference --------------------------------------------
     prediction_paths = []

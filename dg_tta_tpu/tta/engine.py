@@ -330,39 +330,69 @@ def tta_one_volume(
     remat: bool = False,
     exact_warp_grad: bool = False,
     patch_group: int = 1,
+    member_indices=None,
+    save_member_fn: Optional[Callable] = None,
 ) -> Tuple[Any, Any, Any]:
-    """Adapt `ensemble_count` parameter sets on one volume (or, with
+    """Adapt ensemble parameter sets on one volume (or, with
     tta_across_all_samples, on a stack of volumes).
 
     The reference runs the ensemble loop serially (tta.py:165); here the
-    members share every compiled program and run vmapped — they differ only
-    by PRNG stream, exactly like the reference's ensembles differ only by
-    torch RNG state.
+    members of one chunk share every compiled program and run vmapped — they
+    differ only by PRNG stream, exactly like the reference's ensembles differ
+    only by torch RNG state.  Each member's stream is derived by folding its
+    GLOBAL member id into `key`, so a member's draws are identical whether it
+    runs alone, in a chunk, or in a resume subset.
+
+    Args:
+      member_indices: global member ids to adapt (default
+        range(plan.ensemble_count)).  Supports the reference's
+        per-(sample, ensemble) resume granularity (tta.py:169-173): pass only
+        the members whose parameter files are missing.
+      save_member_fn: optional callback (member_id, params, losses, dices)
+        invoked as soon as a member's adaptation finishes (losses/dices are
+        (epochs,) numpy arrays) — chunks run their full epoch loop to
+        completion one after another, so a crash loses at most the chunk in
+        flight.
 
     Returns:
-      (stacked adapted params with leading ensemble axis,
-       losses (epochs, E), eval dices (epochs, E)).
+      (stacked adapted params with leading axis over `member_indices`,
+       losses (epochs, M), eval dices (epochs, M)).
     """
     E = plan.ensemble_count
-    chunk = ensemble_chunk or E
-    assert E % chunk == 0, (E, chunk)
-    n_chunks = E // chunk
+    members = list(range(E)) if member_indices is None else list(member_indices)
+    chunk = min(ensemble_chunk or E, len(members))
     fns = make_tta_functions(
         model, plan, map_idxs_pretrain, map_idxs_tta,
         modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn,
         remat=remat, exact_warp_grad=exact_warp_grad,
         patch_group=patch_group)
 
-    # one chunk of `chunk` members per device step; chunks run sequentially
-    # (memory control for the full-size model on a single chip)
-    params_c = [
-        jax.tree.map(lambda p: jnp.broadcast_to(p[None], (chunk, *p.shape)),
-                     pretrained_params)
-        for _ in range(n_chunks)]
-    opt_c = [jax.vmap(fns.init_opt_state)(p) for p in params_c]
-
+    # multi-chip: the members of a chunk are independent adaptation streams —
+    # shard them over the mesh's data axis (shard_map; plain vmap+sharding
+    # can't split the per-member grouped convs).  The mesh size is the
+    # largest divisor of the chunk size <= device count, so e.g. the default
+    # 3-member ensemble uses 3 of 8 chips.
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1 and chunk > 1:
+        n_use = max(d for d in range(1, min(n_dev, chunk) + 1)
+                    if chunk % d == 0)
+        if n_use > 1:
+            from dg_tta_tpu.parallel.mesh import make_mesh, shard_ensemble_axis
+            from dg_tta_tpu.parallel.tta import (
+                make_sharded_ensemble_eval,
+                make_sharded_ensemble_fwd,
+                make_sharded_ensemble_train,
+            )
+            mesh = make_mesh(n_use)
+            train_sh = make_sharded_ensemble_train(fns, mesh)
+            fwd_sh = make_sharded_ensemble_fwd(fns, mesh)
+            eval_sh = make_sharded_ensemble_eval(fns, mesh)
+    # single-device fallback (also used for a trailing partial chunk whose
+    # size the mesh does not divide); jit is lazy, unused paths cost nothing
     train_v = jax.jit(
-        jax.vmap(fns.epoch_train.__wrapped__, in_axes=(0, 0, 0, None, None)),
+        jax.vmap(fns.epoch_train.__wrapped__,
+                 in_axes=(0, 0, 0, None, None)),
         donate_argnums=(0, 1))
     fwd_v = jax.jit(
         jax.vmap(fns.epoch_fwd.__wrapped__, in_axes=(0, 0, None, None)))
@@ -370,18 +400,35 @@ def tta_one_volume(
         jax.vmap(fns.eval_step.__wrapped__,
                  in_axes=(0, 0, None, None, None)))
 
-    losses, dices = [], []
-    for epoch in range(plan.epochs):
-        key, k_ep, k_ev = jax.random.split(key, 3)
-        ks = jax.random.split(k_ep, E).reshape(n_chunks, chunk, -1)
-        ks_ev = jax.random.split(k_ev, E).reshape(n_chunks, chunk, -1)
-        loss_parts, dice_parts = [], []
-        for c in range(n_chunks):
+    def member_keys(ids, epoch, salt):
+        ks = jnp.stack([jax.random.fold_in(key, int(m)) for m in ids])
+        ks = jax.vmap(jax.random.fold_in, (0, None))(ks, epoch)
+        return jax.vmap(jax.random.fold_in, (0, None))(ks, salt)
+
+    # chunks run their FULL epoch loop sequentially (memory control for the
+    # full-size model on a single chip + save-as-you-finish resume support)
+    params_parts, losses_parts, dices_parts = [], [], []
+    for c0 in range(0, len(members), chunk):
+        ids = members[c0:c0 + chunk]
+        sharded = mesh is not None and len(ids) % mesh.size == 0
+        train_c, fwd_c, eval_c = ((train_sh, fwd_sh, eval_sh) if sharded
+                                  else (train_v, fwd_v, eval_v))
+        params_c = jax.tree.map(
+            lambda p: jnp.broadcast_to(p[None], (len(ids), *p.shape)),
+            pretrained_params)
+        if sharded:
+            params_c = shard_ensemble_axis(params_c, mesh)
+        opt_c = jax.vmap(fns.init_opt_state)(params_c)
+        losses, dices = [], []
+        for epoch in range(plan.epochs):
+            ks = member_keys(ids, epoch, 0)
+            if sharded:
+                ks = shard_ensemble_axis(ks, mesh)
             if fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
-                params_c[c], opt_c[c], loss = train_v(
-                    params_c[c], opt_c[c], ks[c], vols_padded, true_shapes)
+                params_c, opt_c, loss = train_c(
+                    params_c, opt_c, ks, vols_padded, true_shapes)
             else:
-                loss = fwd_v(params_c[c], ks[c], vols_padded, true_shapes)
+                loss = fwd_c(params_c, ks, vols_padded, true_shapes)
             if labels_padded is not None:
                 # tta_eval_patches averages repeated center-patch evals —
                 # identical draws except for MIND descriptor noise
@@ -393,28 +440,36 @@ def tta_one_volume(
                              else 1)
                 evals = []
                 for e in range(eval_reps):
-                    kse = jax.vmap(jax.random.fold_in, (0, None))(ks_ev[c], e)
-                    evals.append(eval_v(params_c[c], kse, vols_padded,
+                    kse = member_keys(ids, epoch, 1 + e)
+                    if sharded:
+                        kse = shard_ensemble_axis(kse, mesh)
+                    evals.append(eval_c(params_c, kse, vols_padded,
                                         true_shapes, labels_padded))
                 dice = jnp.mean(jnp.stack(evals), axis=0)
             else:
-                dice = jnp.full((chunk,), jnp.nan)
-            loss_parts.append(loss)
-            dice_parts.append(dice)
-        loss = jnp.concatenate(loss_parts)
-        dice = jnp.concatenate(dice_parts)
-        losses.append(loss)
-        dices.append(dice)
-        if log_fn is not None:
-            log_fn(epoch, jax.device_get(loss), jax.device_get(dice))
+                dice = jnp.full((len(ids),), jnp.nan)
+            losses.append(loss)
+            dices.append(dice)
+            if log_fn is not None:
+                log_fn(epoch, jax.device_get(loss), jax.device_get(dice))
+        losses = np.asarray(jnp.stack(losses))   # (epochs, len(ids))
+        dices = np.asarray(jnp.stack(dices))
+        if save_member_fn is not None:
+            for i, m in enumerate(ids):
+                save_member_fn(m, jax.tree.map(lambda p: p[i], params_c),
+                               losses[:, i], dices[:, i])
+        params_parts.append(params_c)
+        losses_parts.append(losses)
+        dices_parts.append(dices)
 
-    if n_chunks == 1:
-        params = params_c[0]
+    if len(params_parts) == 1:
+        params = params_parts[0]
     else:
         # host-side concat: after a full-size adaptation HBM is near peak;
         # a device concat here can OOM for zero benefit (callers save
         # per-member files / reload for inference anyway)
         params = jax.tree.map(
             lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
-            *params_c)
-    return params, jnp.stack(losses), jnp.stack(dices)
+            *params_parts)
+    return (params, np.concatenate(losses_parts, axis=1),
+            np.concatenate(dices_parts, axis=1))

@@ -66,8 +66,8 @@ def _prepare_and_edit(root, trainer, **plan_edits):
                 "Pretrained_Dataset901_MiniSrc_at_Dataset902_MiniTgt" /
                 f"{trainer}__3d_fullres" / "fold_0")
     plan = json.load(open(plan_dir / "tta_plan.json"))
-    plan.update(epochs=1, patches_to_be_accumulated=1, ensemble_count=1,
-                lr=1e-3, **plan_edits)
+    plan.update({"epochs": 1, "patches_to_be_accumulated": 1,
+                 "ensemble_count": 1, "lr": 1e-3, **plan_edits})
     json.dump(plan, open(plan_dir / "tta_plan.json", "w"))
     return plan_dir
 
@@ -193,3 +193,47 @@ def test_modifiers_orient_final_segmentations(tmp_path, monkeypatch):
     agree_noflip = np.mean(seg_b[0] == seg_a[0])
     assert agree_flip > 0.95, (agree_flip, agree_noflip)
     assert agree_flip > agree_noflip + 0.01, (agree_flip, agree_noflip)
+
+
+def test_per_member_resume(tmp_path, monkeypatch):
+    """Deleting ONE member's parameter file and re-running re-adapts only
+    that member (reference granularity, tta.py:169-173) and reproduces its
+    original parameters bit-for-bit (member-id-keyed PRNG streams)."""
+    trainer = "nnUNetTrainer_GIN"
+    root = build_workspace(tmp_path, monkeypatch, trainer)
+    _prepare_and_edit(root, trainer, ensemble_count=2)
+    _run(trainer)
+    results_dir = (root / "results" /
+                   "Pretrained_Dataset901_MiniSrc_at_Dataset902_MiniTgt" /
+                   f"{trainer}__3d_fullres" / "fold_0")
+    run_dir = next(results_dir.iterdir())
+    m0 = run_dir / "tta_outputTs" / "caseA__ensemble_idx_0_tta_parameters.npz"
+    m1 = run_dir / "tta_outputTs" / "caseA__ensemble_idx_1_tta_parameters.npz"
+    assert m0.is_file() and m1.is_file()
+    orig_m1 = m1.read_bytes()
+    stat0 = m0.stat().st_mtime_ns
+
+    m1.unlink()
+    # resume = re-launch the same run name (the driver reuses the run dir
+    # whose params exist; here we call tta_main directly on the same dir)
+    from dg_tta_tpu.core.labels import generate_label_mapping
+    from dg_tta_tpu.tta.driver import tta_main
+    from dg_tta_tpu.tta.plan import TTAPlan
+    import dg_tta_tpu.tta.config as cfg
+    plan_dir = (root / "plans" /
+                "Pretrained_Dataset901_MiniSrc_at_Dataset902_MiniTgt" /
+                f"{trainer}__3d_fullres" / "fold_0")
+    plan = TTAPlan.load(plan_dir / "tta_plan.json")
+    mod = cfg.load_current_modifier_functions(plan_dir)
+    pre_classes = json.load(open(
+        plan_dir / "Dataset901_MiniSrc_label_mapping.json"))
+    tta_classes = json.load(open(
+        plan_dir / "Dataset902_MiniTgt_label_mapping.json"))
+    tta_main(run_dir.name, plan, root.parent / "raw" / "Dataset902_MiniTgt",
+             results_dir, generate_label_mapping(pre_classes, tta_classes),
+             modifier_fn_module=mod, verbose=False)
+
+    # member 0 untouched, member 1 regenerated identically
+    assert m0.stat().st_mtime_ns == stat0
+    assert m1.is_file()
+    assert m1.read_bytes() == orig_m1

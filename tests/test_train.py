@@ -187,7 +187,18 @@ def test_run_pretraining_mini(mini_raw, tmp_path, monkeypatch):
         out_dir / "checkpoint_final.npz")
     assert model.trainer_name == "nnUNetTrainer_GIN"
 
-    # resume path
+    # resume path: full training state must survive — optimizer momentum
+    # trace + RNG key are checkpointed alongside params (the nnUNet
+    # checkpoint contract; VERDICT r1 missing #4)
+    from dg_tta_tpu.models.convert import flat_npz_to_params
+    trace_before = flat_npz_to_params(
+        out_dir / "checkpoint_latest_optimizer.npz")
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree.leaves(trace_before)), \
+        "momentum trace is all-zero — not a real optimizer state"
+    state = json.load(open(out_dir / "training_state.json"))
+    assert "rng_key" in state
+
     out_dir = run_pretraining("903", fold=0,
                               trainer_name="nnUNetTrainer_GIN",
                               num_epochs=3, iters_per_epoch=3,
@@ -255,3 +266,62 @@ def test_augment_gates_fire_at_nominal_rate_independent_of_magnitude():
     out = run(p_blur=0.5)
     fired = np.abs(out.reshape(N, -1) - base.reshape(1, -1)).max(axis=1) > 1e-5
     assert 0.4 < fired.mean() < 0.6, fired.mean()
+
+
+def test_discrete_lowres_matches_scipy_oracle():
+    """The matrix-form discrete low-res operator must reproduce the
+    reference's skimage down(order0)/up(order3) resize EXACTLY (skimage
+    without anti-aliasing delegates to scipy.ndimage.zoom(grid_mode=True,
+    mode='nearest'); discrete_downsampling.py:8-37 with the MultiRes params
+    order_downsample=0, order_upsample=3, mode='edge')."""
+    from scipy import ndimage
+    from dg_tta_tpu.train.augment import _discrete_lowres
+
+    rng = np.random.default_rng(3)
+    patch = (12, 14, 16)
+    x = rng.normal(size=(*patch, 1)).astype(np.float32)
+    zooms = MULTIRES_ZOOMS
+
+    for zi in [(0, 1, 2), (2, 2, 2), (1, 0, 3), (3, 3, 3)]:
+        ours = np.asarray(_discrete_lowres(
+            jnp.asarray(x), jnp.asarray(zi, jnp.int32), zooms, patch))[..., 0]
+
+        zs = [zooms[i] if i < 3 else 1.0 for i in zi]
+        tgt = [max(int(round(s * z)), 1) for s, z in zip(patch, zs)]
+        down = ndimage.zoom(x[..., 0].astype(np.float64),
+                            [t / s for t, s in zip(tgt, patch)],
+                            order=0, mode="nearest", grid_mode=True)
+        up = ndimage.zoom(down, [s / t for s, t in zip(patch, tgt)],
+                          order=3, mode="nearest", grid_mode=True)
+        assert up.shape == patch
+        np.testing.assert_allclose(ours, up, atol=1e-4)
+
+
+def test_masked_zscore_matches_nnunet_semantics():
+    """nnunetv2 2.2.1 ZScoreNormalization with use_mask_for_norm computes
+    mean/std over seg>=0 voxels and normalizes ONLY those voxels, leaving
+    outside-mask values untouched (in-place masked assignment).  Vendored
+    oracle below."""
+    from dg_tta_tpu.data.preprocess import normalize
+
+    rng = np.random.default_rng(4)
+    data = rng.normal(2.0, 3.0, size=(1, 6, 7, 8)).astype(np.float32)
+    seg = np.full((1, 6, 7, 8), -1, np.int8)
+    seg[0, 1:5, 1:6, 2:7] = 0
+
+    # --- vendored nnunetv2 ZScoreNormalization.run semantics -------------
+    image = data[0].astype(np.float32).copy()
+    mask = seg[0] >= 0
+    mean, std = image[mask].mean(), image[mask].std()
+    image[mask] = (image[mask] - mean) / max(std, 1e-8)
+    oracle = image
+
+    plans = {"foreground_intensity_properties_per_channel": {}}
+    out = normalize(data, ["ZScoreNormalization"], [True], plans, seg=seg)
+    np.testing.assert_allclose(out[0], oracle, atol=1e-5)
+
+    # unmasked variant: plain z-score over everything
+    out2 = normalize(data, ["ZScoreNormalization"], [False], plans, seg=seg)
+    np.testing.assert_allclose(
+        out2[0], (data[0] - data[0].mean()) / max(data[0].std(), 1e-8),
+        atol=1e-5)

@@ -239,3 +239,54 @@ def test_patch_group_equivalent_distribution():
     # same distribution, different draws: loss values in the same ballpark
     assert max(losses) < 3 * min(losses) + 1e-3, losses
     assert max(norms) < 3 * min(norms), norms
+
+
+def test_member_streams_stable_under_subset_and_chunking():
+    """A member's adaptation must be identical whether it runs in the full
+    vmapped ensemble, alone (resume subset), or chunked — the PRNG stream is
+    keyed by the GLOBAL member id (per-(sample, ensemble) resume support)."""
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    vols = synth_volume(rng)[None]
+    shapes = jnp.asarray([[24.0, 28.0, 20.0]])
+    plan = TTAPlan(epochs=3, patches_to_be_accumulated=2, lr=1e-3,
+                   ensemble_count=3)
+    key = jax.random.PRNGKey(7)
+
+    full, losses_full, _ = tta_one_volume(
+        m, plan, params, vols, shapes, IDX3, IDX3, key)
+    solo, losses_solo, _ = tta_one_volume(
+        m, plan, params, vols, shapes, IDX3, IDX3, key, member_indices=[1])
+    chunked, _, _ = tta_one_volume(
+        m, plan, params, vols, shapes, IDX3, IDX3, key, ensemble_chunk=1)
+
+    # The full (vmapped or, under the test mesh, sharded) and single-member
+    # programs compile differently, so bit-exactness is not expected.  A
+    # wrong PRNG stream would change losses at the ~1e-2 scale of a patch
+    # redraw; compile-noise shows up at ~1e-7.  Params need a looser bound:
+    # AdamW's first step is ~sign(g)*lr, so float-noise sign flips on
+    # near-zero gradients legitimately produce +-2*lr differences.
+    np.testing.assert_allclose(np.asarray(losses_full)[:, 1],
+                               np.asarray(losses_solo)[:, 0], rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(solo)):
+        np.testing.assert_allclose(np.asarray(a)[1], np.asarray(b)[0],
+                                   atol=3e-3)
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(chunked)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+
+def test_save_member_fn_called_per_member():
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(10)
+    vols = synth_volume(rng)[None]
+    shapes = jnp.asarray([[24.0, 28.0, 20.0]])
+    plan = TTAPlan(epochs=1, patches_to_be_accumulated=1, lr=1e-3,
+                   ensemble_count=3)
+    saved = {}
+    tta_one_volume(m, plan, params, vols, shapes, IDX3, IDX3,
+                   jax.random.PRNGKey(1), member_indices=[0, 2],
+                   save_member_fn=lambda i, p, l, d: saved.update({i: l}))
+    assert sorted(saved) == [0, 2]
+    assert all(v.shape == (1,) for v in saved.values())

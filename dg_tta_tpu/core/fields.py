@@ -87,10 +87,13 @@ def calc_consistent_diffeomorphic_field(
     Returns (disp, inverse_disp) in voxel units, channels-last.
     """
     B, D, H, W, _ = disp_field.shape
-    # normalize xyz components by full extents (torch divides the zyx-ordered
-    # field by (D,H,W); our last axis is xyz so divide by (W,H,D)... note the
-    # reference's field channels are grid-ordered too, so this is the same op)
-    dim_corr = jnp.asarray([W, H, D], disp_field.dtype).reshape(1, 1, 1, 1, 3)
+    # PARITY over plausibility: the reference divides the xyz-ordered field
+    # channels by (D, H, W) (augmentation_utils.py:58-60) — i.e. the
+    # x-component (which indexes W) is scaled by D.  That only matches the
+    # "natural" per-axis normalization for cubic patches, but the
+    # inverse-consistency iterations compose in this scaled space, so we
+    # reproduce it exactly (tests/test_fields.py pins the convention).
+    dim_corr = jnp.asarray([D, H, W], disp_field.dtype).reshape(1, 1, 1, 1, 3)
     dt = 1.0 / time_steps
     steps = iter_steps_override if iter_steps_override else time_steps
 
@@ -170,7 +173,19 @@ def get_rand_affine(key, batch_size: int, strength: float = 0.05,
     )
     if flip:
         signs = 2.0 * (jax.random.uniform(k2, (3,)) > 0.5).astype(dtype) - 1.0
-        flip_affine = jnp.diag(jnp.concatenate([signs, jnp.ones((1,), dtype)]))
+        diag_vals = jnp.concatenate([signs, jnp.ones((1,), dtype)])
+        flip_affine = jnp.eye(4, dtype=dtype) * diag_vals[None, :]
         affine = affine @ flip_affine
-    inverse = jnp.linalg.inv(affine)
-    return affine[:, :3], inverse[:, :3]
+    # closed-form inverse of the (R | t) block instead of jnp.linalg.inv:
+    # the LU path emits pivot GATHERS, and any gather op inside a TPU
+    # program can flip the process's dynamic-gather emitter into its ~400x
+    # slower serial mode (PERF.md 'gather cliff'; tools/probe_bisect.py)
+    R = affine[:, :3, :3]
+    t = affine[:, :3, 3]
+    c0, c1, c2 = R[:, :, 0], R[:, :, 1], R[:, :, 2]
+    det = jnp.einsum("bi,bi->b", c0, jnp.cross(c1, c2))
+    r_inv = jnp.stack([jnp.cross(c1, c2), jnp.cross(c2, c0),
+                       jnp.cross(c0, c1)], axis=1) / det[:, None, None]
+    t_inv = -jnp.einsum("bij,bj->bi", r_inv, t)
+    inverse = jnp.concatenate([r_inv, t_inv[:, :, None]], axis=2)
+    return affine[:, :3], inverse

@@ -6,6 +6,7 @@ Reference semantics: /root/reference/dg_tta/tta/torch_utils.py:214-263.
 name-intersection of two `{name: idx}` dicts.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,7 +50,13 @@ def map_label_logits(logits, map_idxs):
     Returns:
       (B, D, H, W, C_opt)
     """
-    return jnp.take(logits, jnp.asarray(map_idxs), axis=-1)
+    # one-hot matmul, not jnp.take: ANY gather op (even a 10-element 1D
+    # take) runs ~28 ms on XLA-TPU's serial emitter AND permanently degrades
+    # the process's fast dynamic-gather path for all subsequent programs
+    # (PERF.md 'gather cliff', tools/probe_bisect.py)
+    map_idxs = jnp.asarray(map_idxs)
+    sel = jax.nn.one_hot(map_idxs, logits.shape[-1], dtype=logits.dtype).T
+    return logits @ sel
 
 
 def map_label_argmaxed(label, map_idxs):

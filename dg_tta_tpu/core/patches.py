@@ -60,8 +60,11 @@ def patch_affine(key, true_shape, patch_size, fixed: bool = False):
         offset_range = jnp.clip((t_in - t_patch) / t_in, 0.0, None)
         offset_xyz = (rand * offset_range)[::-1]
 
+    # eye*broadcast instead of jnp.diag: diag's scatter lowering risks the
+    # TPU gather/scatter poison (PERF.md 'gather cliff')
     theta = jnp.concatenate(
-        [jnp.diag(scales_xyz), offset_xyz[:, None]], axis=1
+        [jnp.eye(3, dtype=scales_xyz.dtype) * scales_xyz[None, :],
+         offset_xyz[:, None]], axis=1
     )
     return theta[None]
 

@@ -113,15 +113,71 @@ def _new_shape(shape, old_spacing, new_spacing):
                  for s, o, n in zip(shape, old_spacing, new_spacing))
 
 
+ANISOTROPY_THRESHOLD = 3.0  # nnUNet's separate_z_anisotropy_threshold
+
+
+def get_do_separate_z(spacing, threshold: float = ANISOTROPY_THRESHOLD):
+    """nnUNet: resample the low-resolution axis separately (nearest) when
+    the spacing anisotropy exceeds 3x (default_resampling semantics).
+    Returns the anisotropic axis index or None."""
+    spacing = np.asarray(spacing, float)
+    if spacing.max() / spacing.min() > threshold:
+        return int(np.argmax(spacing))
+    return None
+
+
 def resample_to_spacing(data: np.ndarray, old_spacing, new_spacing,
-                        is_seg: bool = False, order: int = 3) -> np.ndarray:
+                        is_seg: bool = False, order: int = 3,
+                        separate_z_axis=None) -> np.ndarray:
     """Resample (C, D, H, W) to a new (z, y, x) spacing.
 
     Data: spline of `order`.  Seg: per-label one-hot, linear, argmax
     (nnUNet's resample_data_or_seg(is_seg=True) behavior).
+    separate_z_axis: when set (nnUNet's "do_separate_z" path for >3x
+    anisotropic spacings), in-plane slices are resampled with `order` and
+    the anisotropic axis with order-0 nearest-slice mapping.
     """
     new_shape = _new_shape(data.shape[1:], old_spacing, new_spacing)
+    if separate_z_axis is not None:
+        return resample_separate_z(data, new_shape, separate_z_axis,
+                                   is_seg=is_seg, order=order)
     return resample_to_shape(data, new_shape, is_seg=is_seg, order=order)
+
+
+def resample_separate_z(data: np.ndarray, new_shape, axis: int,
+                        is_seg: bool = False, order: int = 3) -> np.ndarray:
+    """nnUNet's separate-z resampling (default_resampling.py semantics):
+    each slice along the anisotropic `axis` is resampled in-plane with
+    `order` (segs per-label one-hot, order 1), then the axis itself is
+    mapped with order-0 nearest using sklearn-resize coordinate centers
+    (idx = scale * (i + 0.5) - 0.5, rounded) — no interpolation ACROSS
+    slices, which would blur thick-slice data.
+
+    Args: data (C, D, H, W); axis is spatial (0..2).
+    """
+    spatial = list(data.shape[1:])
+    new_shape = list(new_shape)
+    inplane_new = [s for i, s in enumerate(new_shape) if i != axis]
+
+    # in-plane pass, slice by slice along `axis`
+    out_slices = []
+    for z in range(spatial[axis]):
+        sl = [slice(None)] * 3
+        sl[axis] = z
+        plane = data[(slice(None), *sl)]  # (C, a, b)
+        plane = resample_to_shape(plane, inplane_new, is_seg=is_seg,
+                                  order=1 if is_seg else order)
+        out_slices.append(plane)
+    stacked = np.stack(out_slices, axis=1 + axis)  # (C, ...) old-z-count
+
+    # along-axis pass: nearest-slice selection at sklearn-style centers
+    old_n, new_n = spatial[axis], new_shape[axis]
+    if old_n != new_n:
+        scale = old_n / new_n
+        idx = np.round(scale * (np.arange(new_n) + 0.5) - 0.5).astype(int)
+        idx = np.clip(idx, 0, old_n - 1)
+        stacked = np.take(stacked, idx, axis=1 + axis)
+    return stacked
 
 
 def resample_to_shape(data: np.ndarray, new_shape, is_seg: bool = False,
@@ -188,11 +244,14 @@ def preprocess_case(data: np.ndarray, props: dict, plans: dict,
                      cfg["use_mask_for_norm"], plans, seg_c)
 
     target_spacing = tuple(cfg["spacing"])
-    data = resample_to_spacing(data, spacing, target_spacing, order=3)
+    sep_axis = get_do_separate_z(spacing)
+    data = resample_to_spacing(data, spacing, target_spacing, order=3,
+                               separate_z_axis=sep_axis)
     seg_out = None
     if seg is not None:
         seg_out = resample_to_spacing(seg_c, spacing, target_spacing,
-                                      is_seg=True, order=1)
+                                      is_seg=True, order=1,
+                                      separate_z_axis=sep_axis)
 
     info = PreprocInfo(
         original_shape=tuple(original_shape),
@@ -211,7 +270,12 @@ def undo_preprocessing_logits(logits: np.ndarray, info: PreprocInfo) -> np.ndarr
     resample to the cropped shape (linear), argmax, paste into the original
     shape at the crop bbox, undo the transpose.  Returns (D, H, W) uint16."""
     ch_first = np.moveaxis(logits, -1, 0)
-    back = resample_to_shape(ch_first, info.cropped_shape, order=1)
+    sep_axis = get_do_separate_z(info.original_spacing)
+    if sep_axis is not None:
+        back = resample_separate_z(ch_first, info.cropped_shape, sep_axis,
+                                   order=1)
+    else:
+        back = resample_to_shape(ch_first, info.cropped_shape, order=1)
     seg_cropped = np.argmax(back, axis=0)
     out = np.zeros(info.original_shape, np.uint16)
     sl = tuple(slice(lo, hi) for lo, hi in info.bbox)

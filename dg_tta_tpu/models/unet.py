@@ -160,11 +160,22 @@ def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False,
         channel gather (torch_utils.py:214-227 logits mode) into the 1x1x1
         conv's weights, so the full class-count logits never materialize
         (105ch -> C_opt at TS104 scale saves ~600MB/branch in the TTA step).
+
+        The selection is a one-hot matmul, NOT jnp.take: measured on v5e,
+        running ANY gather op in a program permanently flips this process's
+        XLA-TPU dynamic-gather emitter into a ~400x slower serial mode for
+        all subsequent programs (tools/probe_bisect.py; PERF.md 'gather
+        cliff').  The matmul is identical math ((C_feat, 105) @ one-hot ->
+        (C_feat, C_opt)), trivially cheap, and keeps the model program
+        gather-free; its transpose is a matmul too (no scatter-add in the
+        backward).
         """
         w, b = sl["w"], sl["b"]
         if head_channel_idx is not None:
-            w = jnp.take(w, head_channel_idx, axis=-1)
-            b = jnp.take(b, head_channel_idx, axis=0)
+            sel = jax.nn.one_hot(head_channel_idx, w.shape[-1],
+                                 dtype=w.dtype).T          # (105, C_opt)
+            w = w @ sel
+            b = b @ sel
         # logits stay in the compute dtype; losses/argmax upcast where needed
         return _conv(h, w, b)
 

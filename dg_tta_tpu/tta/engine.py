@@ -188,8 +188,14 @@ def make_tta_functions(
                 grid = affine_grid(theta, patch_size, align_corners=False)
                 grid_inv = affine_grid(theta_inv, patch_size,
                                        align_corners=False)
-                # adjoint scale of the INVERSE warp: 1/|det(theta_inv)|
-                adj_scale = jnp.abs(jnp.linalg.det(theta[:, :, :3]))
+                # adjoint scale of the INVERSE warp: 1/|det(theta_inv)|.
+                # Closed form (not jnp.linalg.det): the LU path emits pivot
+                # gathers, which poison the process's fast gather emitter
+                # (PERF.md 'gather cliff').
+                R = theta[:, :, :3]
+                adj_scale = jnp.abs(jnp.einsum(
+                    "bi,bi->b", R[:, :, 0],
+                    jnp.cross(R[:, :, 1], R[:, :, 2], axis=-1)))
             else:
                 disp, disp_inv = get_disp_field(
                     k_sp, B, patch_size, factor=0.5, interpolation_factor=5)
@@ -430,14 +436,16 @@ def tta_one_volume(
             else:
                 loss = fwd_c(params_c, ks, vols_padded, true_shapes)
             if labels_padded is not None:
-                # tta_eval_patches averages repeated center-patch evals —
-                # identical draws except for MIND descriptor noise
-                # (tta.py:285-338 uses fixed "center" patches).  Without MIND
-                # noise every repeat is bit-identical, so the mean of
-                # tta_eval_patches copies equals one eval — skip the repeats.
-                eval_reps = (plan.tta_eval_patches
-                             if (model.uses_mind and model.mind_noise_scale)
-                             else 1)
+                # tta_eval_patches averages repeated center-patch evals
+                # (tta.py:285-338 uses fixed "center" patches).  A repeat
+                # only differs through MIND descriptor noise or, with
+                # multiple volumes (tta_across_all_samples), through the
+                # random volume draw in extract_batch — when neither varies
+                # every repeat is bit-identical and one eval equals the mean.
+                deterministic = not (model.uses_mind and model.mind_noise_scale)
+                single_vol = int(vols_padded.shape[0]) == 1
+                eval_reps = (1 if (deterministic and single_vol)
+                             else plan.tta_eval_patches)
                 evals = []
                 for e in range(eval_reps):
                     kse = member_keys(ids, epoch, 1 + e)

@@ -67,3 +67,45 @@ def test_diffeomorphic_zero_field_is_zero():
     d, di = calc_consistent_diffeomorphic_field(z, z, 5)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(di), 0.0, atol=1e-7)
+
+
+def test_consistent_field_matches_torch_reference_anisotropic():
+    """Pin the reference's normalization convention: the xyz-ordered field
+    channels are divided by (D, H, W) (augmentation_utils.py:58-60), which
+    is NOT the per-axis extent for anisotropic patches — parity reproduces
+    it exactly (ADVICE r1)."""
+    import torch
+    import torch.nn.functional as F
+
+    from dg_tta_tpu.core.fields import calc_consistent_diffeomorphic_field
+
+    D, H, W = 6, 8, 10
+    rng = np.random.default_rng(2)
+    field = rng.normal(0, 2.0, size=(1, D, H, W, 3)).astype(np.float32)
+
+    # ---- torch oracle: augmentation_utils.py:46-135, consistency branch --
+    t_field = torch.from_numpy(np.moveaxis(field, -1, 1))  # (1, 3, D, H, W)
+    dim_corr = torch.tensor([D, H, W], dtype=torch.float32).view(1, 3, 1, 1, 1)
+    time_steps = 1
+    identity = F.affine_grid(torch.eye(3, 4).unsqueeze(0), (1, 1, D, H, W),
+                             align_corners=True).permute(0, 4, 1, 2, 3)
+    out = t_field / dim_corr / (2 ** time_steps) * 1.0
+    out_inv = torch.zeros_like(out)
+    for _ in range(5):
+        ds, inv_ds = out.clone(), out_inv.clone()
+        out = 0.5 * ds - 0.5 * F.grid_sample(
+            inv_ds, (identity + ds).permute(0, 2, 3, 4, 1),
+            padding_mode="border", align_corners=True)
+        out_inv = 0.5 * inv_ds - 0.5 * F.grid_sample(
+            ds, (identity + inv_ds).permute(0, 2, 3, 4, 1),
+            padding_mode="border", align_corners=True)
+    ref = (out * 2 ** time_steps * dim_corr).numpy()
+    ref_inv = (out_inv * 2 ** time_steps * dim_corr).numpy()
+
+    ours, ours_inv = calc_consistent_diffeomorphic_field(
+        jnp.asarray(field), jnp.zeros_like(jnp.asarray(field)),
+        time_steps=1, ensure_inverse_consistency=True, iter_steps_override=5)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(ours), -1, 1), ref,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(ours_inv), -1, 1),
+                               ref_inv, atol=2e-5)

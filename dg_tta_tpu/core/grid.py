@@ -132,7 +132,16 @@ def grid_sample_flat(
     y = _unnormalize(gy, H, align_corners)
     z = _unnormalize(gz, D, align_corners)
 
-    flat = jax.lax.optimization_barrier(flat)
+    # PERF (v5e, measured in tools/probe_bisect.py + PERF.md): XLA-TPU's fast
+    # gather emitter handles ONLY 32-bit, scalar-slice, single-operand
+    # gathers (~0.02 ms / 1.6M idx).  A bf16 operand OR a multi-channel
+    # slice (slice_sizes {1,C,1}) falls onto a serial emitter ~5000x slower
+    # (98-119 ms for the same index count).  So: upcast to f32 and unroll
+    # the (B, C) axes into independent 1D gathers sharing one index vector.
+    out_dtype = flat.dtype
+    gather_dtype = (jnp.float32 if flat.dtype in (jnp.bfloat16, jnp.float16)
+                    else flat.dtype)
+    flat = jax.lax.optimization_barrier(flat.astype(gather_dtype))
 
     def gather(zi, yi, xi, w=None):
         """Gather flat[b, :, lin(zi,yi,xi)] with clamping; weight applied."""
@@ -146,18 +155,21 @@ def grid_sample_flat(
         xc = jnp.clip(xi, 0, W - 1)
         lin = (zc * H + yc) * W + xc  # (B, Do, Ho, Wo)
         lin2 = jax.lax.optimization_barrier(lin.reshape(B, -1))  # (B, N')
-        # per-batch gather with indices SHARED across channels: (C, DHW)
-        # taken at (N',) -> (C, N'); avoids materializing (B, C, N') index
-        # arrays that a broadcast take_along_axis would create
-        vals = jax.vmap(lambda f, i: jnp.take(f, i, axis=1))(flat, lin2)
+        # unrolled per-(batch, channel) gathers, each in the exact fast-
+        # emitter form: 2D (1, N) operand, take along axis 1 (a 1D (N,)
+        # operand or a (C>1, N) slice both fall onto the serial emitter)
+        vals = jnp.stack([
+            jnp.concatenate([jnp.take(flat[b, c:c + 1], lin2[b], axis=1)
+                             for c in range(C)])
+            for b in range(B)])
         vals = jax.lax.optimization_barrier(vals)
         if padding_mode == "zeros":
-            scale = inb.astype(flat.dtype) if w is None else (
-                w * inb.astype(flat.dtype))
+            scale = inb.astype(vals.dtype) if w is None else (
+                w * inb.astype(vals.dtype))
         else:
             scale = w
         if scale is not None:
-            vals = vals * scale.reshape(B, 1, -1).astype(flat.dtype)
+            vals = vals * scale.reshape(B, 1, -1).astype(vals.dtype)
         return vals
 
     if mode == "nearest":
@@ -167,7 +179,7 @@ def grid_sample_flat(
         zi = jnp.round(z).astype(jnp.int32)
         yi = jnp.round(y).astype(jnp.int32)
         xi = jnp.round(x).astype(jnp.int32)
-        return gather(zi, yi, xi)
+        return gather(zi, yi, xi).astype(out_dtype)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -180,7 +192,7 @@ def grid_sample_flat(
     z0 = z0.astype(jnp.int32)
     x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1
 
-    return (
+    out = (
         gather(z0, y0, x0, (1 - tz) * (1 - ty) * (1 - tx))
         + gather(z0, y0, x1, (1 - tz) * (1 - ty) * tx)
         + gather(z0, y1, x0, (1 - tz) * ty * (1 - tx))
@@ -190,6 +202,7 @@ def grid_sample_flat(
         + gather(z1, y1, x0, tz * ty * (1 - tx))
         + gather(z1, y1, x1, tz * ty * tx)
     )
+    return out.astype(out_dtype)
 
 
 @partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))

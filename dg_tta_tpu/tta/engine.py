@@ -338,6 +338,7 @@ def tta_one_volume(
     patch_group: int = 1,
     member_indices=None,
     save_member_fn: Optional[Callable] = None,
+    split: Optional[bool] = None,
 ) -> Tuple[Any, Any, Any]:
     """Adapt ensemble parameter sets on one volume (or, with
     tta_across_all_samples, on a stack of volumes).
@@ -359,6 +360,9 @@ def tta_one_volume(
         (epochs,) numpy arrays) — chunks run their full epoch loop to
         completion one after another, so a crash loses at most the chunk in
         flight.
+      split: use the split-dispatch epoch (engine_split.py — warps and the
+        U-Net in separate XLA programs, the TPU gather-cliff workaround).
+        None = auto: on for a single-device TPU backend, off elsewhere.
 
     Returns:
       (stacked adapted params with leading axis over `member_indices`,
@@ -411,12 +415,31 @@ def tta_one_volume(
         ks = jax.vmap(jax.random.fold_in, (0, None))(ks, epoch)
         return jax.vmap(jax.random.fold_in, (0, None))(ks, salt)
 
+    from dg_tta_tpu.tta.engine_split import split_supported
+    use_split = (split if split is not None
+                 else (mesh is None and jax.default_backend() == "tpu"))
+    use_split = use_split and split_supported(model, plan)
+    split_cache = {}
+
+    def get_split_fns(ids):
+        sids = tuple(int(m) for m in ids)
+        if sids not in split_cache:
+            from dg_tta_tpu.tta.engine_split import make_split_tta_functions
+            split_cache[sids] = make_split_tta_functions(
+                model, plan, map_idxs_pretrain, map_idxs_tta,
+                modify_input_fn=modify_input_fn,
+                modify_output_fn=modify_output_fn,
+                patch_group=patch_group, ensemble=len(sids),
+                member_ids=sids)
+        return split_cache[sids]
+
     # chunks run their FULL epoch loop sequentially (memory control for the
     # full-size model on a single chip + save-as-you-finish resume support)
     params_parts, losses_parts, dices_parts = [], [], []
     for c0 in range(0, len(members), chunk):
         ids = members[c0:c0 + chunk]
         sharded = mesh is not None and len(ids) % mesh.size == 0
+        sfns = get_split_fns(ids) if use_split else None
         train_c, fwd_c, eval_c = ((train_sh, fwd_sh, eval_sh) if sharded
                                   else (train_v, fwd_v, eval_v))
         params_c = jax.tree.map(
@@ -424,13 +447,26 @@ def tta_one_volume(
             pretrained_params)
         if sharded:
             params_c = shard_ensemble_axis(params_c, mesh)
-        opt_c = jax.vmap(fns.init_opt_state)(params_c)
+        if use_split:
+            opt_c = sfns.init_opt_state(params_c)
+            eval_c = sfns.eval_step
+        else:
+            opt_c = jax.vmap(fns.init_opt_state)(params_c)
         losses, dices = [], []
         for epoch in range(plan.epochs):
             ks = member_keys(ids, epoch, 0)
             if sharded:
                 ks = shard_ensemble_axis(ks, mesh)
-            if fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
+            if use_split:
+                # the split engine folds global member ids itself
+                k_ep = jax.random.fold_in(jax.random.fold_in(key, epoch), 0)
+                if sfns.grads_enabled and epoch >= plan.start_tta_at_epoch:
+                    params_c, opt_c, loss = sfns.epoch_train(
+                        params_c, opt_c, k_ep, vols_padded, true_shapes)
+                else:
+                    loss = sfns.epoch_fwd(params_c, k_ep, vols_padded,
+                                          true_shapes)
+            elif fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
                 params_c, opt_c, loss = train_c(
                     params_c, opt_c, ks, vols_padded, true_shapes)
             else:

@@ -90,18 +90,24 @@ def main():
     # group=1 measured faster than group=2 on v5e (PERF.md: the B=4 program
     # runs ~2x slower per step than 2x the B=2 step)
     group = int(os.environ.get("BENCH_PATCH_GROUP", 1))
+    # BENCH_SPLIT=1 uses the split-dispatch engine (engine_split.py);
+    # default is the fused epoch program
+    split = os.environ.get("BENCH_SPLIT", "0") == "1"
     run = lambda key: tta_one_volume(
         model, plan, params, padded, shapes, idx, idx, key,
-        ensemble_chunk=chunk, remat=remat, log_fn=log, patch_group=group)
+        ensemble_chunk=chunk, remat=remat, log_fn=log, patch_group=group,
+        split=split)
 
-    # warm-up volume: pays all compilations
+    # warm-up volume: pays all compilations.  The fence is a HOST TRANSFER
+    # of a param leaf: block_until_ready on donated outputs can return
+    # before the compute finishes on this stack (PERF.md).
     out = run(jax.random.PRNGKey(1))
-    jax.block_until_ready(jax.tree.leaves(out[0])[0])
+    np.asarray(jax.tree.leaves(out[0])[0])
 
     # measured volume: steady-state sec/volume
     t0 = time.perf_counter()
     out = run(jax.random.PRNGKey(2))
-    jax.block_until_ready(jax.tree.leaves(out[0])[0])
+    np.asarray(jax.tree.leaves(out[0])[0])
     dt = time.perf_counter() - t0
 
     print(json.dumps({

@@ -50,13 +50,13 @@ def map_label_logits(logits, map_idxs):
     Returns:
       (B, D, H, W, C_opt)
     """
-    # one-hot matmul, not jnp.take: ANY gather op (even a 10-element 1D
-    # take) runs ~28 ms on XLA-TPU's serial emitter AND permanently degrades
+    # STATIC slicing + concat, not jnp.take and not a one-hot matmul: on
+    # XLA-TPU both a gather op and a small-K contraction permanently degrade
     # the process's fast dynamic-gather path for all subsequent programs
-    # (PERF.md 'gather cliff', tools/probe_bisect.py)
-    map_idxs = jnp.asarray(map_idxs)
-    sel = jax.nn.one_hot(map_idxs, logits.shape[-1], dtype=logits.dtype).T
-    return logits @ sel
+    # (PERF.md 'gather cliff', tools/probe_poison*.py).  The mapping indices
+    # are run-level config, always concrete at trace time.
+    idx = [int(i) for i in np.asarray(map_idxs).tolist()]
+    return jnp.concatenate([logits[..., i:i + 1] for i in idx], axis=-1)
 
 
 def map_label_argmaxed(label, map_idxs):

@@ -33,6 +33,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dg_tta_tpu.models.plans import ArchSpec
 
@@ -161,21 +162,19 @@ def unet_apply(params, x, spec: ArchSpec, deep_supervision: bool = False,
         conv's weights, so the full class-count logits never materialize
         (105ch -> C_opt at TS104 scale saves ~600MB/branch in the TTA step).
 
-        The selection is a one-hot matmul, NOT jnp.take: measured on v5e,
-        running ANY gather op in a program permanently flips this process's
-        XLA-TPU dynamic-gather emitter into a ~400x slower serial mode for
-        all subsequent programs (tools/probe_bisect.py; PERF.md 'gather
-        cliff').  The matmul is identical math ((C_feat, 105) @ one-hot ->
-        (C_feat, C_opt)), trivially cheap, and keeps the model program
-        gather-free; its transpose is a matmul too (no scatter-add in the
-        backward).
+        The selection is STATIC python-int slicing + concat — neither a
+        jnp.take (any gather op run once permanently flips this process's
+        fast XLA-TPU gather emitter ~400x slower) nor a one-hot matmul (a
+        K=1-class contraction in a program ALSO poisons the emitter
+        process-wide; measured, tools/probe_poison*.py / PERF.md 'gather
+        cliff').  The label-mapping indices are run-level config, so they
+        are always available as concrete ints at trace time.
         """
         w, b = sl["w"], sl["b"]
         if head_channel_idx is not None:
-            sel = jax.nn.one_hot(head_channel_idx, w.shape[-1],
-                                 dtype=w.dtype).T          # (105, C_opt)
-            w = w @ sel
-            b = b @ sel
+            idx = [int(i) for i in np.asarray(head_channel_idx).tolist()]
+            w = jnp.concatenate([w[..., i:i + 1] for i in idx], axis=-1)
+            b = jnp.concatenate([b[i:i + 1] for i in idx])
         # logits stay in the compute dtype; losses/argmax upcast where needed
         return _conv(h, w, b)
 

@@ -166,6 +166,7 @@ def make_tta_functions(
     n_acc = plan.patches_to_be_accumulated // patch_group
     map_pre = jnp.asarray(map_idxs_pretrain)
     map_tta = jnp.asarray(map_idxs_tta)
+    _map_pre_static = [int(i) for i in np.asarray(map_idxs_pretrain).tolist()]
     n_opt = int(map_pre.shape[0])
     intensity_on = plan.intensity_aug_function == "GIN"
     grads_enabled = plan.have_grad_in in ("branch_a", "both")
@@ -241,14 +242,21 @@ def make_tta_functions(
         x = jnp.concatenate([xa, xb], axis=0)
         if modify_input_fn is not None:
             x = modify_input_fn(x)
-        # the label-mapping channel gather is folded into the seg head
-        # (weight gather) — identical to map_label_logits(model(x), map_pre)
-        # but the full class-count logits never materialize
-        logits = model.apply(params, x, key=k_model,
-                             head_channel_idx=map_pre)
+        # full class-count head, then label mapping as STATIC row slices in
+        # the channels-first flat domain (map_label_logits semantics,
+        # torch_utils.py:214-227).  Folding the mapping into the seg head
+        # weights looks cheaper but makes the head conv a tiny-channel
+        # (C_out=n_opt) op — on TPU any conv/dot with small non-128 channel
+        # dims permanently poisons the fast gather emitter process-wide
+        # (PERF.md 'gather cliff'); contiguous row slices of the flat logits
+        # are pure data movement and benign.
+        logits = model.apply(params, x, key=k_model)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
-        lf = jnp.moveaxis(logits, -1, 1).reshape(2 * B, n_opt, -1)
+        n_cls = logits.shape[-1]
+        lf = jnp.moveaxis(logits, -1, 1).reshape(2 * B, n_cls, -1)
+        lf = jnp.concatenate([lf[:, i:i + 1] for i in _map_pre_static],
+                             axis=1)
         la, lb = lf[:B], lf[B:]
         return branch_unwarp_flat(la, ctx_a), branch_unwarp_flat(lb, ctx_b)
 
@@ -298,10 +306,12 @@ def make_tta_functions(
                                    labels_padded=labels, fixed=True)
         if modify_input_fn is not None:
             imgs = modify_input_fn(imgs)
-        logits = model.apply(params, imgs, key=k_model,
-                             head_channel_idx=map_pre)
+        # full head + static channel slices (see both_branches PERF note)
+        logits = model.apply(params, imgs, key=k_model)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
+        logits = jnp.concatenate(
+            [logits[..., i:i + 1] for i in _map_pre_static], axis=-1)
         pred = jnp.argmax(logits, axis=-1)
         gt = map_label_argmaxed(labs[..., 0].astype(jnp.int32), map_tta)
         d = dice_coeff(pred, gt, n_opt)

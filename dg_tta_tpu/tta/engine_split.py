@@ -88,8 +88,8 @@ def make_split_tta_functions(
     member_ids = tuple(member_ids) if member_ids is not None else tuple(
         range(E))
     assert len(member_ids) == E
-    map_pre = jnp.asarray(map_idxs_pretrain)
-    n_opt = int(map_pre.shape[0])
+    map_pre_static = [int(i) for i in np.asarray(map_idxs_pretrain).tolist()]
+    n_opt = len(map_pre_static)
     intensity_on = plan.intensity_aug_function == "GIN"
     grads_enabled = plan.have_grad_in in ("branch_a", "both")
     N = int(np.prod(patch_size))
@@ -172,19 +172,23 @@ def make_split_tta_functions(
         def one(p, xx):
             if modify_input_fn is not None:
                 xx = modify_input_fn(xx)
-            lg = model.apply(p, xx, head_channel_idx=map_pre)
+            # full class-count head: a tiny-channel (C_out=n_opt) head conv
+            # would poison the fast gather emitter process-wide (PERF.md);
+            # the label mapping happens below as static row slices
+            lg = model.apply(p, xx)
             if modify_output_fn is not None:
                 lg = modify_output_fn(lg)
-            return jnp.moveaxis(lg, -1, 1).astype(jnp.float32)  # (2B,n_opt,*p)
+            return jnp.moveaxis(lg, -1, 1).astype(jnp.float32)  # (2B,C,*p)
 
         # python-unrolled over members: vmap over the params axis would turn
         # every conv into a grouped conv (invalid when E doesn't divide the
         # output features, and a worse MXU shape when it does)
         lg = jnp.stack([
             one(jax.tree.map(lambda a: a[e], params_stacked), x[e])
-            for e in range(E)])                        # (E, 2B, n_opt, *patch)
-        lg = lg.reshape(E, 2, B, n_opt, N)
-        return tuple(lg[e, br, :, c][:, None]
+            for e in range(E)])                        # (E, 2B, C, *patch)
+        n_cls = lg.shape[2]
+        lg = lg.reshape(E, 2, B, n_cls, N)
+        return tuple(lg[e, br, :, map_pre_static[c]][:, None]
                      for e in range(E) for br in range(2)
                      for c in range(n_opt))
 
@@ -285,16 +289,33 @@ def make_split_tta_functions(
         return tuple(out)
 
     def train_step(params_stacked, k, vols, shapes):
+        import os
+        import time as _time
+        timing = os.environ.get("DGTTA_SPLIT_TIMING")
+
+        def tick(label, val):
+            if timing:
+                jax.block_until_ready(val)
+                t = _time.perf_counter()
+                dt = t - tick.t0
+                tick.t0 = t
+                print(f"    [split] {label}: {dt*1e3:8.2f} ms", flush=True)
+            return val
+        tick.t0 = _time.perf_counter()
+
         xs, (tha, thai, adja), (thb, thbi, adjb) = _aug_inputs(
             k, vols, shapes)
-        logits = model_fwd(params_stacked, xs)
+        tick("aug", xs)
+        logits = tick("model_fwd", model_fwd(params_stacked, xs))
         ua = (_unwarp_all(logits, thai, "a") if spatial_a
               else tuple(logits[2 * e * n_opt + c]
                          for e in range(E) for c in range(n_opt)))
         ub = (_unwarp_all(logits, thbi, "b") if spatial_b
               else tuple(logits[(2 * e + 1) * n_opt + c]
                          for e in range(E) for c in range(n_opt)))
+        tick("unwarp", (ua, ub))
         losses, ga, gb = p_loss(ua, ub)
+        tick("loss", losses)
         # adjoint warps per channel, then model backward
         g_chans = []
         for e in range(E):
@@ -305,7 +326,9 @@ def make_split_tta_functions(
                     if spatial:
                         g = unwarp_transpose(g, th[e], adj[e])
                     g_chans.append(g)
-        g_params = model_bwd(params_stacked, xs, tuple(g_chans))
+        tick("unwarp_T", g_chans)
+        g_params = tick("model_bwd",
+                        model_bwd(params_stacked, xs, tuple(g_chans)))
         return losses, g_params
 
     def epoch_train(params_stacked, opt_state, key, vols, shapes):

@@ -99,20 +99,24 @@ def analyze(fn, args):
     print(f"full optimized HLO -> {out} ({len(txt)} bytes)")
 
 
-def run_timed(fn, args, iters=3):
+def run_timed(fn, args, iters=5):
     import jax
     params, opt_state, key, padded, shapes = args
     out = fn(params, opt_state, key, padded, shapes)
     jax.block_until_ready(out[2])
-    # steady state: feed updated state back in
+    # steady state: feed updated state back in.  Sync via a HOST TRANSFER of
+    # the loss each iteration — on this stack block_until_ready on donated
+    # outputs can return before the compute finishes (measured 0.004 s for a
+    # 4.3 TFLOP program), so float() is the only trustworthy fence.
     params, opt_state = out[0], out[1]
+    float(out[2])
     ts = []
     for i in range(iters):
         t0 = time.perf_counter()
         params, opt_state, loss = fn(params, opt_state,
                                      jax.random.fold_in(key, i),
                                      padded, shapes)
-        jax.block_until_ready(loss)
+        float(loss)
         ts.append(time.perf_counter() - t0)
     print(json.dumps({"epoch_s": round(min(ts), 4), "all": [round(t, 4) for t in ts]}))
     return params, opt_state

@@ -133,13 +133,18 @@ def grid_sample_flat(
     z = _unnormalize(gz, D, align_corners)
 
     # PERF (v5e, measured in tools/probe_bisect.py + PERF.md): XLA-TPU's fast
-    # gather emitter handles ONLY 32-bit, scalar-slice, single-operand
-    # gathers (~0.02 ms / 1.6M idx).  A bf16 operand OR a multi-channel
-    # slice (slice_sizes {1,C,1}) falls onto a serial emitter ~5000x slower
-    # (98-119 ms for the same index count).  So: upcast to f32 and unroll
-    # the (B, C) axes into independent 1D gathers sharing one index vector.
+    # gather emitter handles ONLY 32-bit, scalar-slice gathers in small
+    # per-program doses (~0.02 ms / 1.6M idx).  For C == 1 we guarantee that
+    # form (f32 upcast + 2D (1, N) operand takes).  For C > 1 NO fast
+    # formulation exists (multi-channel slices, per-channel unrolls, and
+    # separate-buffer variants all fall onto serial emitters, and >2 warps'
+    # worth of unrolled gathers in one program can fault the TPU worker) —
+    # keep the single multi-channel take, which runs on the ~23 ms/gather
+    # serial path but is robust.
     out_dtype = flat.dtype
-    gather_dtype = (jnp.float32 if flat.dtype in (jnp.bfloat16, jnp.float16)
+    fast_form = (C == 1)
+    gather_dtype = (jnp.float32
+                    if fast_form and flat.dtype in (jnp.bfloat16, jnp.float16)
                     else flat.dtype)
     flat = jax.lax.optimization_barrier(flat.astype(gather_dtype))
 
@@ -155,13 +160,12 @@ def grid_sample_flat(
         xc = jnp.clip(xi, 0, W - 1)
         lin = (zc * H + yc) * W + xc  # (B, Do, Ho, Wo)
         lin2 = jax.lax.optimization_barrier(lin.reshape(B, -1))  # (B, N')
-        # unrolled per-(batch, channel) gathers, each in the exact fast-
-        # emitter form: 2D (1, N) operand, take along axis 1 (a 1D (N,)
-        # operand or a (C>1, N) slice both fall onto the serial emitter)
-        vals = jnp.stack([
-            jnp.concatenate([jnp.take(flat[b, c:c + 1], lin2[b], axis=1)
-                             for c in range(C)])
-            for b in range(B)])
+        if fast_form:
+            vals = jnp.stack([jnp.take(flat[b], lin2[b], axis=1)
+                              for b in range(B)])
+        else:
+            # per-batch gather with indices SHARED across channels
+            vals = jax.vmap(lambda f, i: jnp.take(f, i, axis=1))(flat, lin2)
         vals = jax.lax.optimization_barrier(vals)
         if padding_mode == "zeros":
             scale = inb.astype(vals.dtype) if w is None else (

@@ -242,21 +242,16 @@ def make_tta_functions(
         x = jnp.concatenate([xa, xb], axis=0)
         if modify_input_fn is not None:
             x = modify_input_fn(x)
-        # full class-count head, then label mapping as STATIC row slices in
-        # the channels-first flat domain (map_label_logits semantics,
-        # torch_utils.py:214-227).  Folding the mapping into the seg head
-        # weights looks cheaper but makes the head conv a tiny-channel
-        # (C_out=n_opt) op — on TPU any conv/dot with small non-128 channel
-        # dims permanently poisons the fast gather emitter process-wide
-        # (PERF.md 'gather cliff'); contiguous row slices of the flat logits
-        # are pure data movement and benign.
-        logits = model.apply(params, x, key=k_model)
+        # label mapping folded into the seg head (static weight slices in
+        # unet.head).  NOTE: this makes the head conv a tiny-channel op that
+        # poisons the fast gather emitter (PERF.md), but the poisoned fused
+        # program is still the fastest known full-size configuration — the
+        # full-head + row-select alternative measured 3x slower end-to-end.
+        logits = model.apply(params, x, key=k_model,
+                             head_channel_idx=map_pre)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
-        n_cls = logits.shape[-1]
-        lf = jnp.moveaxis(logits, -1, 1).reshape(2 * B, n_cls, -1)
-        lf = jnp.concatenate([lf[:, i:i + 1] for i in _map_pre_static],
-                             axis=1)
+        lf = jnp.moveaxis(logits, -1, 1).reshape(2 * B, n_opt, -1)
         la, lb = lf[:B], lf[B:]
         return branch_unwarp_flat(la, ctx_a), branch_unwarp_flat(lb, ctx_b)
 
@@ -306,12 +301,10 @@ def make_tta_functions(
                                    labels_padded=labels, fixed=True)
         if modify_input_fn is not None:
             imgs = modify_input_fn(imgs)
-        # full head + static channel slices (see both_branches PERF note)
-        logits = model.apply(params, imgs, key=k_model)
+        logits = model.apply(params, imgs, key=k_model,
+                             head_channel_idx=map_pre)
         if modify_output_fn is not None:
             logits = modify_output_fn(logits)
-        logits = jnp.concatenate(
-            [logits[..., i:i + 1] for i in _map_pre_static], axis=-1)
         pred = jnp.argmax(logits, axis=-1)
         gt = map_label_argmaxed(labs[..., 0].astype(jnp.int32), map_tta)
         d = dice_coeff(pred, gt, n_opt)

@@ -11,8 +11,10 @@ Divergences (documented):
 * spline resampling uses scipy.ndimage.zoom (mode="nearest") instead of
   skimage.transform.resize; values agree in the interior, edge handling
   differs at the last voxel ring.
-* nnUNet's "separate z" low-res path for >3x anisotropy is not special-cased;
-  the isotropic 1.5mm plans shipped with the reference never trigger it.
+
+nnUNet's "separate z" low-res path for >3x anisotropy IS special-cased (see
+`_resample_data` below and tests/test_data.py): in-plane spline resample per
+slice, then nearest/linear along z, both directions of the pipeline.
 """
 
 import dataclasses

@@ -150,7 +150,12 @@ def _discrete_lowres(x, zoom_idx, zoom_set, patch_size):
     """
     for ax in range(3):
         mats = jnp.asarray(_lowres_axis_matrices(patch_size[ax], zoom_set))
-        m = jnp.take(mats, zoom_idx[ax], axis=0)         # (size, size)
+        # static-slice + where chain, NOT jnp.take: a small dynamic gather in
+        # device code would poison the process-wide fast gather emitter
+        # (PERF.md 'gather cliff'); the matrix set is tiny and static.
+        m = mats[-1]
+        for i in range(mats.shape[0] - 1):
+            m = jnp.where(zoom_idx[ax] == i, mats[i], m)  # (size, size)
         x = jnp.moveaxis(jnp.tensordot(m, x, axes=(1, ax)), 0, ax)
     return x
 

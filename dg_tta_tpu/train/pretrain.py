@@ -215,10 +215,26 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
         start_epoch = meta["epoch"] + 1
         opt_state = tx.init(params)
         if ckpt_opt.is_file():
-            trace = flat_npz_to_params(ckpt_opt)
-            trace = jax.tree.map(lambda t, p: jnp.asarray(t, p.dtype),
-                                 trace, params)
-            opt_state = (opt_state[0], optax.TraceState(trace=trace))
+            # full optimizer-state pytree restore by flattened leaf order —
+            # robust to the optax chain gaining members (any structure change
+            # fails loudly with a leaf-count mismatch instead of silently
+            # corrupting state the way positional TraceState surgery would)
+            data = np.load(ckpt_opt)
+            if any(k.startswith("leaf_") for k in data.files):
+                leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+                assert len(leaves) == len(data.files), (
+                    f"optimizer checkpoint has {len(data.files)} leaves, "
+                    f"current optimizer state has {len(leaves)}")
+                new_leaves = [
+                    jnp.asarray(data[f"leaf_{i:05d}"], leaves[i].dtype)
+                    for i in range(len(leaves))]
+                opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+            else:
+                # pre-r3 checkpoints stored only the momentum trace
+                trace = flat_npz_to_params(ckpt_opt)
+                trace = jax.tree.map(lambda t, p: jnp.asarray(t, p.dtype),
+                                     trace, params)
+                opt_state = (opt_state[0], optax.TraceState(trace=trace))
         elif verbose:
             print("WARNING: no optimizer checkpoint found; momentum trace "
                   "restarts from zero")
@@ -276,7 +292,9 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                                 "val_pseudo_dice": val_dice,
                                 "lr": lr, "seconds": dt}) + "\n")
         params_to_flat_npz(params, ckpt_latest)
-        params_to_flat_npz(opt_state[1].trace, ckpt_opt)
+        _leaves = jax.tree_util.tree_leaves(opt_state)
+        np.savez(ckpt_opt, **{f"leaf_{i:05d}": np.asarray(l)
+                              for i, l in enumerate(_leaves)})
         with open(out_dir / "training_state.json", "w") as f:
             json.dump({"epoch": epoch, "trainer": trainer_name,
                        "rng_key": np.asarray(key).tolist()}, f)

@@ -167,11 +167,6 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
     modify_model_output_fn = getattr(mod, "modify_tta_model_output_fn", None)
     modify_after_mapping_fn = getattr(
         mod, "modify_tta_output_after_mapping_fn", None)
-    if modify_model_output_fn and modify_after_mapping_fn:
-        modify_output_fn = lambda x: modify_after_mapping_fn(
-            modify_model_output_fn(x))
-    else:
-        modify_output_fn = modify_model_output_fn or modify_after_mapping_fn
     postprocess_fn = getattr(mod, "postprocess_results_fn", lambda d: None)
 
     optimized_labels = list(plan.optimized_labels)
@@ -264,7 +259,9 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                 model, plan, pretrained_params, vols, tshapes,
                 map_pre, map_tta, k_run, labels_padded=labs,
                 modify_input_fn=modify_input_fn,
-                modify_output_fn=modify_output_fn, log_fn=log_fn,
+                modify_output_fn=modify_model_output_fn,
+                modify_after_mapping_fn=modify_after_mapping_fn,
+                log_fn=log_fn,
                 ensemble_chunk=1 if big else None, remat=False,
                 exact_warp_grad=bool(os.environ.get(
                     "DGTTA_EXACT_WARP_GRAD")),

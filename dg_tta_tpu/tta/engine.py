@@ -334,6 +334,7 @@ def tta_one_volume(
     labels_padded=None,
     modify_input_fn: Optional[Callable] = None,
     modify_output_fn: Optional[Callable] = None,
+    modify_after_mapping_fn: Optional[Callable] = None,
     log_fn: Optional[Callable] = None,
     ensemble_chunk: Optional[int] = None,
     remat: bool = False,
@@ -374,9 +375,19 @@ def tta_one_volume(
     E = plan.ensemble_count
     members = list(range(E)) if member_indices is None else list(member_indices)
     chunk = min(ensemble_chunk or E, len(members))
+    # fused engine: label mapping is folded into the seg head, so the model-
+    # output hook already sees mapped channels — the after-mapping hook
+    # composes directly after it (reference hook order: model_utils.py:21-35
+    # then tta.py:566)
+    if modify_after_mapping_fn is not None:
+        _out_fn, _after_fn = modify_output_fn, modify_after_mapping_fn
+        fused_output_fn = ((lambda x: _after_fn(_out_fn(x)))
+                           if _out_fn is not None else _after_fn)
+    else:
+        fused_output_fn = modify_output_fn
     fns = make_tta_functions(
         model, plan, map_idxs_pretrain, map_idxs_tta,
-        modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn,
+        modify_input_fn=modify_input_fn, modify_output_fn=fused_output_fn,
         remat=remat, exact_warp_grad=exact_warp_grad,
         patch_group=patch_group)
 
@@ -419,22 +430,34 @@ def tta_one_volume(
         return jax.vmap(jax.random.fold_in, (0, None))(ks, salt)
 
     from dg_tta_tpu.tta.engine_split import split_supported
-    use_split = (split if split is not None
-                 else (mesh is None and jax.default_backend() == "tpu"))
-    use_split = use_split and split_supported(model, plan)
+    # The FUSED epoch is the shipped default on every backend: it is the
+    # configuration bench.py measures (BENCH_r02+) and, with the Pallas warp
+    # kernel (ops/warp_pallas.py), no longer pays the XLA gather cliff.  The
+    # split-dispatch engine remains an explicit opt-in (split=True /
+    # BENCH_SPLIT=1) for stacks where fused dispatch is pathological; it
+    # ignores exact_warp_grad/remat, so never auto-select it.
+    use_split = bool(split) and split_supported(model, plan)
+    if use_split and (exact_warp_grad or remat):
+        raise ValueError(
+            "split=True is incompatible with exact_warp_grad/remat: the "
+            "split engine always uses the approximate |det|-scaled adjoint "
+            "and never rematerializes; use the fused engine for these.")
+    # cache keyed by chunk SIZE only: member ids are passed as data to the
+    # split programs, so one compile of the 6-12-minute big-model programs
+    # serves every member chunk of the same size (advisor r2 finding)
     split_cache = {}
 
     def get_split_fns(ids):
-        sids = tuple(int(m) for m in ids)
-        if sids not in split_cache:
+        n = len(ids)
+        if n not in split_cache:
             from dg_tta_tpu.tta.engine_split import make_split_tta_functions
-            split_cache[sids] = make_split_tta_functions(
+            split_cache[n] = make_split_tta_functions(
                 model, plan, map_idxs_pretrain, map_idxs_tta,
                 modify_input_fn=modify_input_fn,
                 modify_output_fn=modify_output_fn,
-                patch_group=patch_group, ensemble=len(sids),
-                member_ids=sids)
-        return split_cache[sids]
+                modify_after_mapping_fn=modify_after_mapping_fn,
+                patch_group=patch_group, ensemble=n)
+        return split_cache[n]
 
     # chunks run their FULL epoch loop sequentially (memory control for the
     # full-size model on a single chip + save-as-you-finish resume support)
@@ -461,14 +484,16 @@ def tta_one_volume(
             if sharded:
                 ks = shard_ensemble_axis(ks, mesh)
             if use_split:
-                # the split engine folds global member ids itself
+                # the split engine folds global member ids (passed as data)
                 k_ep = jax.random.fold_in(jax.random.fold_in(key, epoch), 0)
+                ids_arr = jnp.asarray(ids, jnp.int32)
                 if sfns.grads_enabled and epoch >= plan.start_tta_at_epoch:
                     params_c, opt_c, loss = sfns.epoch_train(
-                        params_c, opt_c, k_ep, vols_padded, true_shapes)
+                        params_c, opt_c, k_ep, ids_arr, vols_padded,
+                        true_shapes)
                 else:
-                    loss = sfns.epoch_fwd(params_c, k_ep, vols_padded,
-                                          true_shapes)
+                    loss = sfns.epoch_fwd(params_c, k_ep, ids_arr,
+                                          vols_padded, true_shapes)
             elif fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
                 params_c, opt_c, loss = train_c(
                     params_c, opt_c, ks, vols_padded, true_shapes)

@@ -49,7 +49,7 @@ from dg_tta_tpu.core.grid import affine_grid, grid_sample_flat
 from dg_tta_tpu.core.losses import consistency_loss_flat
 from dg_tta_tpu.core.patches import extract_batch
 from dg_tta_tpu.models.network import Model
-from dg_tta_tpu.tta.engine import _in_branch, make_optimizer, make_tta_functions
+from dg_tta_tpu.tta.engine import _in_branch, make_optimizer
 from dg_tta_tpu.tta.plan import TTAPlan
 
 
@@ -75,20 +75,27 @@ def make_split_tta_functions(
     map_idxs_tta,
     modify_input_fn: Optional[Callable] = None,
     modify_output_fn: Optional[Callable] = None,
+    modify_after_mapping_fn: Optional[Callable] = None,
     patch_group: int = 1,
     ensemble: int = 1,
-    member_ids=None,
 ) -> SplitTTAFunctions:
+    """Build the split-dispatch pipeline for chunks of `ensemble` members.
+
+    Global member ids are DATA, not trace constants: every per-epoch entry
+    point takes a `member_ids` (E,) int32 array and folds it into the PRNG
+    streams with `jax.random.fold_in` on traced values.  One compile of the
+    big model fwd/bwd programs therefore serves every member chunk of the
+    same size (the driver's full-size default is chunk=1 over 3 members —
+    id-keyed programs would recompile the 6-12-minute U-Net programs 3x per
+    volume for identical HLO)."""
     patch_size = model.patch_size
     assert plan.patches_to_be_accumulated % patch_group == 0
     assert split_supported(model, plan)
     B = plan.batch_size * patch_group
     n_acc = plan.patches_to_be_accumulated // patch_group
     E = ensemble
-    member_ids = tuple(member_ids) if member_ids is not None else tuple(
-        range(E))
-    assert len(member_ids) == E
     map_pre_static = [int(i) for i in np.asarray(map_idxs_pretrain).tolist()]
+    map_tta_static = [int(i) for i in np.asarray(map_idxs_tta).tolist()]
     n_opt = len(map_pre_static)
     intensity_on = plan.intensity_aug_function == "GIN"
     grads_enabled = plan.have_grad_in in ("branch_a", "both")
@@ -100,21 +107,21 @@ def make_split_tta_functions(
 
     # ---- small reusable programs ----------------------------------------
     @jax.jit
-    def p_extract(key, vols, shapes):
+    def p_extract(key, member_ids, vols, shapes):
         """Per-member patch draws; no gathers (sample_unit_stride)."""
         out = []
-        for mid in member_ids:
-            mk = jax.random.fold_in(key, mid)
+        for e in range(E):
+            mk = jax.random.fold_in(key, member_ids[e])
             k_patch, _ = jax.random.split(mk)
             out.append(extract_batch(k_patch, vols, shapes, patch_size, B)[0])
         return tuple(out)                                  # E x (B,*patch,C)
 
     @jax.jit
-    def p_thetas(key):
+    def p_thetas(key, member_ids):
         """Branch affines for every member: (E, B, 3, 4) x4 + |det| (E, B)."""
         tha, thai, thb, thbi, adja, adjb = [], [], [], [], [], []
-        for mid in member_ids:
-            mk = jax.random.fold_in(key, mid)
+        for e in range(E):
+            mk = jax.random.fold_in(key, member_ids[e])
             _, k_aug = jax.random.split(mk)
             ka, kb = jax.random.split(k_aug)
             ta, tai = get_rand_affine(jax.random.split(ka)[1], B)
@@ -130,10 +137,11 @@ def make_split_tta_functions(
                 jnp.stack(thbi), jnp.stack(adja), jnp.stack(adjb))
 
     @jax.jit
-    def p_gin(key, imgs, salt):
+    def p_gin(key, mid, imgs, salt):
         """GIN intensity aug on one member-branch batch (convs, no warps)."""
         from dg_tta_tpu.ops.gin import gin_aug
-        return gin_aug(jax.random.fold_in(key, salt), imgs)
+        return gin_aug(jax.random.fold_in(jax.random.fold_in(key, mid), salt),
+                       imgs)
 
     @jax.jit
     def warp_border(x, theta):
@@ -207,6 +215,18 @@ def make_split_tta_functions(
         return jax.grad(inner)(params_stacked)
 
     # ---- loss on unwarped channels (elementwise program) ------------------
+    def _after_mapping(l):
+        """Apply the user's after-mapping hook to (E, B, n_opt, N) mapped
+        logits in the channels-last layout the hook contract uses (the fused
+        engine applies it right after the head-folded mapping; here mapping
+        happened as static slices in model_fwd, so this is the first point
+        where mapped channels exist — driver.py hook-order note)."""
+        if modify_after_mapping_fn is None:
+            return l
+        ll = jnp.moveaxis(l.reshape(E * B, n_opt, *patch_size), 1, -1)
+        ll = modify_after_mapping_fn(ll)
+        return jnp.moveaxis(ll, -1, 1).reshape(E, B, n_opt, N)
+
     @jax.jit
     def p_loss(chans_a, chans_b):
         """chans_{a,b}: tuples of E*n_opt (B, 1, N) f32 unwarped channels.
@@ -217,7 +237,7 @@ def make_split_tta_functions(
         def f(la, lb):
             losses = jax.vmap(
                 lambda a, b: consistency_loss_flat(a, b, start_class=1))(
-                la, lb)
+                _after_mapping(la), _after_mapping(lb))
             return jnp.sum(losses), losses
 
         (_, losses), (ga, gb) = jax.value_and_grad(
@@ -232,7 +252,8 @@ def make_split_tta_functions(
         la = jnp.stack(chans_a).reshape(E, n_opt, B, N).transpose(0, 2, 1, 3)
         lb = jnp.stack(chans_b).reshape(E, n_opt, B, N).transpose(0, 2, 1, 3)
         return jax.vmap(
-            lambda a, b: consistency_loss_flat(a, b, start_class=1))(la, lb)
+            lambda a, b: consistency_loss_flat(a, b, start_class=1))(
+            _after_mapping(la), _after_mapping(lb))
 
     # ---- accumulate + update ---------------------------------------------
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -259,17 +280,17 @@ def make_split_tta_functions(
         return jax.jit(jax.vmap(t.init))(params_stacked)
 
     # ---- one accumulation step (python-orchestrated pipeline) -------------
-    def _aug_inputs(k, vols, shapes):
-        patches = p_extract(k, vols, shapes)
-        tha, thai, thb, thbi, adja, adjb = p_thetas(k)
+    def _aug_inputs(k, member_ids, vols, shapes):
+        patches = p_extract(k, member_ids, vols, shapes)
+        tha, thai, thb, thbi, adja, adjb = p_thetas(k, member_ids)
         xs = []
-        for e, mid in enumerate(member_ids):
+        for e in range(E):
             xa = patches[e]
             xb = patches[e]
             if gin_a:
-                xa = p_gin(jax.random.fold_in(k, mid), xa, 2 * 1)
+                xa = p_gin(k, member_ids[e], xa, 2 * 1)
             if gin_b:
-                xb = p_gin(jax.random.fold_in(k, mid), xb, 2 * 2)
+                xb = p_gin(k, member_ids[e], xb, 2 * 2)
             if spatial_a:
                 xa = warp_border(xa, tha[e])
             if spatial_b:
@@ -288,7 +309,7 @@ def make_split_tta_functions(
                 out.append(unwarp_zero(ch, th_inv))
         return tuple(out)
 
-    def train_step(params_stacked, k, vols, shapes):
+    def train_step(params_stacked, k, member_ids, vols, shapes):
         import os
         import time as _time
         timing = os.environ.get("DGTTA_SPLIT_TIMING")
@@ -304,7 +325,7 @@ def make_split_tta_functions(
         tick.t0 = _time.perf_counter()
 
         xs, (tha, thai, adja), (thb, thbi, adjb) = _aug_inputs(
-            k, vols, shapes)
+            k, member_ids, vols, shapes)
         tick("aug", xs)
         logits = tick("model_fwd", model_fwd(params_stacked, xs))
         ua = (_unwarp_all(logits, thai, "a") if spatial_a
@@ -331,23 +352,24 @@ def make_split_tta_functions(
                         model_bwd(params_stacked, xs, tuple(g_chans)))
         return losses, g_params
 
-    def epoch_train(params_stacked, opt_state, key, vols, shapes):
+    def epoch_train(params_stacked, opt_state, key, member_ids, vols, shapes):
         grads = jax.tree.map(jnp.zeros_like, params_stacked)
         loss_sum = jnp.zeros((E,), jnp.float32)
         for i in range(n_acc):
             k = jax.random.fold_in(key, i)
-            loss, g_params = train_step(params_stacked, k, vols, shapes)
+            loss, g_params = train_step(params_stacked, k, member_ids, vols,
+                                        shapes)
             grads, loss_sum = p_accum(grads, loss_sum, g_params, loss)
         params_stacked, opt_state = p_update(params_stacked, opt_state,
                                              grads)
         return params_stacked, opt_state, loss_sum / n_acc
 
-    def epoch_fwd(params_stacked, key, vols, shapes):
+    def epoch_fwd(params_stacked, key, member_ids, vols, shapes):
         loss_sum = jnp.zeros((E,), jnp.float32)
         for i in range(n_acc):
             k = jax.random.fold_in(key, i)
             xs, (tha, thai, adja), (thb, thbi, adjb) = _aug_inputs(
-                k, vols, shapes)
+                k, member_ids, vols, shapes)
             logits = model_fwd(params_stacked, xs)
             ua = (_unwarp_all(logits, thai, "a") if spatial_a
                   else tuple(logits[2 * e * n_opt + c]
@@ -358,16 +380,38 @@ def make_split_tta_functions(
             loss_sum = loss_sum + p_loss_only(ua, ub)
         return loss_sum / n_acc
 
-    # eval has no warps — the fused program is gather-free and fast
-    fused = make_tta_functions(
-        model, plan, map_idxs_pretrain, map_idxs_tta,
-        modify_input_fn=modify_input_fn, modify_output_fn=modify_output_fn,
-        patch_group=patch_group)
-    eval_v = jax.jit(jax.vmap(fused.eval_step.__wrapped__,
-                              in_axes=(0, 0, None, None, None)))
+    # ---- eval: split-local, gather-safe -----------------------------------
+    # The fused eval folds the label mapping into the seg head; that tiny-
+    # channel head conv would permanently poison the process-wide fast
+    # gather emitter (PERF.md mechanism 1), flipping every subsequent
+    # warp_border/unwarp dispatch onto the ~400x serial path and negating
+    # the split engine entirely.  Run the FULL class-count head here and map
+    # channels with static slices, like model_fwd does (advisor r2 finding).
+    from dg_tta_tpu.core.labels import map_label_argmaxed
+    from dg_tta_tpu.core.losses import dice_coeff
 
-    def eval_step(params_stacked, keys, vols, shapes, labels):
-        return eval_v(params_stacked, keys, vols, shapes, labels)
+    B_eval = plan.batch_size
+
+    def _eval_one(params, key, vols, shapes, labels):
+        """Center-patch pseudo-Dice vs GT (tta.py:283-338), full-width head."""
+        k_patch, k_model = jax.random.split(key)
+        imgs, labs = extract_batch(k_patch, vols, shapes, patch_size, B_eval,
+                                   labels_padded=labels, fixed=True)
+        if modify_input_fn is not None:
+            imgs = modify_input_fn(imgs)
+        logits = model.apply(params, imgs, key=k_model)  # full class count
+        if modify_output_fn is not None:
+            logits = modify_output_fn(logits)
+        lg = jnp.concatenate([logits[..., c:c + 1] for c in map_pre_static],
+                             axis=-1)
+        if modify_after_mapping_fn is not None:
+            lg = modify_after_mapping_fn(lg)
+        pred = jnp.argmax(lg, axis=-1)
+        gt = map_label_argmaxed(labs[..., 0].astype(jnp.int32),
+                                jnp.asarray(map_tta_static))
+        return jnp.nanmean(dice_coeff(pred, gt, n_opt))
+
+    eval_step = jax.jit(jax.vmap(_eval_one, in_axes=(0, 0, None, None, None)))
 
     return SplitTTAFunctions(
         init_opt_state=init_opt_state,

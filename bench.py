@@ -5,12 +5,22 @@ on the TS104 flagship PlainConvUNet.
 
 Prints ONE JSON line:
   {"metric": "tta_sec_per_volume", "value": N, "unit": "s",
-   "vs_baseline": <baseline_target / N>}
+   "vs_baseline": <baseline_target / N>, "extra": {...}}
 vs_baseline compares against the driver-set north-star of 10 s/volume
 (BASELINE.md; the reference repo publishes no timings). >1.0 beats it.
 
+"extra" couples the timing to the math (r2 verdict: a perf number from
+broken math must not "pass") and records the second BASELINE metric:
+  final_loss           mean final-epoch TTA consistency loss (deterministic
+                       for the fixed seeds — any math regression moves it)
+  member_consistency   pseudo-Dice between member-0 and member-1 argmax
+                       segmentations of the phantom after adaptation
+  infer_vol_per_min    sliding-window inference throughput on the phantom
+                       (BASELINE.json metric line: "inference volumes/min")
+
 Env knobs: BENCH_SMALL=1 (tiny model, smoke), BENCH_ENSEMBLE_CHUNK,
-BENCH_REMAT=0/1, BENCH_EPOCHS.
+BENCH_REMAT=0/1, BENCH_EPOCHS, BENCH_SPLIT, BENCH_PATCH_GROUP;
+BENCH_INFER=0 skips the inference/consistency section.
 """
 
 import json
@@ -106,15 +116,43 @@ def main():
 
     # measured volume: steady-state sec/volume
     t0 = time.perf_counter()
-    out = run(jax.random.PRNGKey(2))
-    np.asarray(jax.tree.leaves(out[0])[0])
+    adapted, losses, _ = run(jax.random.PRNGKey(2))
+    np.asarray(jax.tree.leaves(adapted)[0])
     dt = time.perf_counter() - t0
+
+    extra = {"final_loss": round(float(np.mean(losses[-1])), 6)}
+
+    # member-consistency pseudo-dice + inference throughput on the phantom
+    if os.environ.get("BENCH_INFER", "1") == "1":
+        from dg_tta_tpu.infer.sliding_window import predict_volume
+
+        stacked = jax.tree.map(jnp.asarray, adapted)
+        seg = None
+        t0 = time.perf_counter()
+        logits = predict_volume(model, stacked, volj,
+                                key=jax.random.PRNGKey(3))
+        seg = np.asarray(jnp.argmax(logits, axis=-1))
+        dt_inf = time.perf_counter() - t0
+        extra["infer_vol_per_min"] = round(60.0 / dt_inf, 2)
+        # per-member segs for the consistency metric (members 0 and 1)
+        m0 = jax.tree.map(lambda p: p[0:1], stacked)
+        m1 = jax.tree.map(lambda p: p[1:2], stacked) if (
+            np.asarray(jax.tree.leaves(stacked)[0]).shape[0] > 1) else m0
+        s0 = np.asarray(jnp.argmax(predict_volume(
+            model, m0, volj, key=jax.random.PRNGKey(3)), axis=-1))
+        s1 = np.asarray(jnp.argmax(predict_volume(
+            model, m1, volj, key=jax.random.PRNGKey(3)), axis=-1))
+        inter = float(((s0 == s1) & (s0 > 0)).sum())
+        denom = float((s0 > 0).sum() + (s1 > 0).sum())
+        extra["member_consistency"] = round(
+            2.0 * inter / denom if denom else 1.0, 4)
 
     print(json.dumps({
         "metric": "tta_sec_per_volume",
         "value": round(dt, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_TARGET_S / dt, 3),
+        "extra": extra,
     }))
 
 

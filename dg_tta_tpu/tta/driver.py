@@ -250,10 +250,25 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
             params_to_flat_npz(params_m, member_paths[m])
             plot_run_results(sub_dir, param_id, m, loss_m, dice_m)
 
-        # memory heuristic: full-size models (>=1M-voxel patches) run one
-        # ensemble member per device step; with the fast warp adjoint the
-        # epoch fits v5e HBM without rematerialization (remat costs ~27%)
+        # knobs come from the plan (editable per run, reference workflow);
+        # env vars override for experiments.  ensemble_chunk default is
+        # device-aware: full-size models (>=1M-voxel patches) run one member
+        # per DEVICE step — chunk=1 on a single chip (HBM bound), but
+        # chunk=min(E, n_dev) on a multi-chip mesh, where the ensemble axis
+        # shards one member per device at the same per-device footprint
+        # (engine.py sharding branch).
         big = int(np.prod(model.patch_size)) >= 2 ** 20
+        n_dev = len(jax.devices())
+        chunk = plan.ensemble_chunk
+        if os.environ.get("DGTTA_ENSEMBLE_CHUNK"):
+            chunk = int(os.environ["DGTTA_ENSEMBLE_CHUNK"])
+        if chunk is None:
+            if big:
+                chunk = min(plan.ensemble_count, n_dev) if n_dev > 1 else 1
+            # small models: chunk=None lets the engine batch all members
+        group = int(os.environ.get("DGTTA_PATCH_GROUP", plan.patch_group))
+        remat = bool(int(os.environ.get("DGTTA_REMAT", int(plan.remat))))
+        split = (os.environ.get("DGTTA_ENGINE", plan.engine) == "split")
         with timer.phase("adaptation"):
             adapted, losses, dices = tta_one_volume(
                 model, plan, pretrained_params, vols, tshapes,
@@ -262,10 +277,10 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                 modify_output_fn=modify_model_output_fn,
                 modify_after_mapping_fn=modify_after_mapping_fn,
                 log_fn=log_fn,
-                ensemble_chunk=1 if big else None, remat=False,
+                ensemble_chunk=chunk, remat=remat, split=split,
                 exact_warp_grad=bool(os.environ.get(
                     "DGTTA_EXACT_WARP_GRAD")),
-                patch_group=int(os.environ.get("DGTTA_PATCH_GROUP", 1)),
+                patch_group=group,
                 member_indices=missing, save_member_fn=save_member)
             jax.block_until_ready(jax.tree.leaves(adapted)[0])
 

@@ -65,9 +65,14 @@ def _warp_with_inverse(x, grid, grid_inv, inv_det, spatial, padding_mode):
     is O(h^2).  The TTA loss is itself a stochastic patch objective, so the
     approximation changes gradients far less than one patch redraw.  Exact
     autograd remains available via make_tta_functions(exact_warp_grad=True).
+
+    On TPU the C=n_opt forward/adjoint warps route through the Pallas
+    staged-gather kernel (ops/warp_pallas.py) — the XLA gather emitters run
+    these ~400x slower inside the fused program (PERF.md gather cliff).
     """
-    return grid_sample_flat(x, spatial, grid, padding_mode=padding_mode,
-                            align_corners=False)
+    from dg_tta_tpu.ops.warp_pallas import warp_flat_auto
+    return warp_flat_auto(x, spatial, grid, padding_mode=padding_mode,
+                          align_corners=False)
 
 
 def _wwi_fwd(x, grid, grid_inv, inv_det, spatial, padding_mode):
@@ -77,9 +82,10 @@ def _wwi_fwd(x, grid, grid_inv, inv_det, spatial, padding_mode):
 
 
 def _wwi_bwd(spatial, padding_mode, res, g):
+    from dg_tta_tpu.ops.warp_pallas import warp_flat_auto
     grid_inv, inv_det = res
-    dx = grid_sample_flat(g, spatial, grid_inv, padding_mode="zeros",
-                          align_corners=False)
+    dx = warp_flat_auto(g, spatial, grid_inv, padding_mode="zeros",
+                        align_corners=False)
     dx = dx * jnp.reshape(inv_det, (-1,) + (1,) * (dx.ndim - 1)).astype(dx.dtype)
     return dx, None, None, None
 
@@ -206,11 +212,14 @@ def make_tta_functions(
                 # diffeomorphic near-identity field: |det(I + grad d)| ~ 1
                 adj_scale = jnp.ones((B,))
             # warp in channels-first flat form (the TPU-fast gather layout;
-            # for the 1-channel input both moveaxis are free dim-1 permutes)
+            # for the 1-channel input both moveaxis are free dim-1 permutes).
+            # No gradient flows here (x is input-derived), so the
+            # non-differentiable Pallas path is safe.
+            from dg_tta_tpu.ops.warp_pallas import warp_flat_auto
             Cin = x.shape[-1]
             xf = jnp.moveaxis(x, -1, 1).reshape(B, Cin, -1)
-            xf = grid_sample_flat(xf, patch_size, grid,
-                                  padding_mode="border", align_corners=False)
+            xf = warp_flat_auto(xf, patch_size, grid,
+                                padding_mode="border", align_corners=False)
             x = jnp.moveaxis(xf.reshape(B, Cin, *patch_size), 1, -1)
             warp_ctx = (grid, grid_inv, adj_scale)
         return x, warp_ctx
@@ -424,10 +433,20 @@ def tta_one_volume(
         jax.vmap(fns.eval_step.__wrapped__,
                  in_axes=(0, 0, None, None, None)))
 
+    # ONE dispatch per epoch for the member PRNG streams: on the axon tunnel
+    # every small dispatch after a host transfer costs ~100ms (PERF.md), so
+    # the per-epoch key plumbing must not fan out into several ops
+    @partial(jax.jit, static_argnames=())
+    def _member_keys(key, ids_arr, epoch, salt):
+        def one(m):
+            k = jax.random.fold_in(key, m)
+            k = jax.random.fold_in(k, epoch)
+            return jax.random.fold_in(k, salt)
+        return jax.vmap(one)(ids_arr)
+
     def member_keys(ids, epoch, salt):
-        ks = jnp.stack([jax.random.fold_in(key, int(m)) for m in ids])
-        ks = jax.vmap(jax.random.fold_in, (0, None))(ks, epoch)
-        return jax.vmap(jax.random.fold_in, (0, None))(ks, salt)
+        return _member_keys(key, jnp.asarray(ids, jnp.int32),
+                            jnp.int32(epoch), jnp.int32(salt))
 
     from dg_tta_tpu.tta.engine_split import split_supported
     # The FUSED epoch is the shipped default on every backend: it is the
@@ -519,7 +538,7 @@ def tta_one_volume(
                                         true_shapes, labels_padded))
                 dice = jnp.mean(jnp.stack(evals), axis=0)
             else:
-                dice = jnp.full((len(ids),), jnp.nan)
+                dice = np.full((len(ids),), np.nan, np.float32)  # host-side
             losses.append(loss)
             dices.append(dice)
             if log_fn is not None:

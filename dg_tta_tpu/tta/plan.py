@@ -49,6 +49,20 @@ class TTAPlan:
     do_spatial_aug_in: str = "both"
     num_processes: int = 1
     wandb_mode: str = "disabled"
+    # --- TPU performance knobs (extensions over the reference plan; absent
+    # keys in a reference-authored plan JSON keep these defaults, and the
+    # reference loader ignores them in plans written here) -----------------
+    # ensemble members batched per device step; None = device-aware auto
+    # (engine.tta_one_volume / driver).  DGTTA_ENSEMBLE_CHUNK overrides.
+    ensemble_chunk: Optional[int] = None
+    # accumulation draws folded into the batch dim (DGTTA_PATCH_GROUP
+    # overrides); memory scales ~linearly with it
+    patch_group: int = 1
+    # rematerialize the branch forward in backward (memory for ~27% time)
+    remat: bool = False
+    # 'fused' = one XLA program per epoch (default, what bench measures);
+    # 'split' = dispatch pipeline (tta/engine_split.py)
+    engine: str = "fused"
     # generated keys (not hyperparameters; excluded from hashing-sensitive use)
     optimized_labels: Optional[tuple] = None
     tta_data_filepaths: Optional[tuple] = None
@@ -61,6 +75,8 @@ class TTAPlan:
         assert self.have_grad_in in ("branch_a", "branch_b", "both")
         assert self.do_intensity_aug_in in ("branch_a", "branch_b", "both", "none")
         assert self.do_spatial_aug_in in ("branch_a", "branch_b", "both", "none")
+        assert self.engine in ("fused", "split")
+        assert self.patch_group >= 1
 
     @classmethod
     def from_dict(cls, d: dict) -> "TTAPlan":

@@ -77,7 +77,7 @@ def window_origins(image_size, patch_size, step_fraction: float = 0.5,
 
 def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
                                   dtype=jnp.float32, modify_input_fn=None,
-                                  modify_output_fn=None):
+                                  modify_output_fn=None, mesh=None):
     """Build the jitted accumulation program.
 
     Returns fn(params_stacked, vol_padded, origins, valid) -> (D, H, W, C)
@@ -90,13 +90,19 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
     predictor (model_utils.py:21-35 via nnunet_utils.py:116-125), so they run
     on every sliding-window patch at inference — orientation fixes stay active
     during Phase 2.  Both take/return (B, D, H, W, C).
+
+    mesh: optional jax.sharding.Mesh — shards the WINDOW-ORIGIN axis over
+    the mesh's data axis (each device scans its share of windows into local
+    accumulators, one psum combines them; params/volume replicated).  The
+    padded origin count must be divisible by the mesh size
+    (window_origins pads to a multiple of 8).
     """
     patch_size = model.patch_size
     gauss = jnp.asarray(compute_gaussian(patch_size))[..., None]
     n_out = num_out_channels or model.spec.num_classes
 
-    @partial(jax.jit, static_argnames=())
-    def predict(params_stacked, vol_padded, origins, valid, key):
+    def scan_origins(params_stacked, vol_padded, origins, valid, keys,
+                     psum_axis=None):
         D, H, W, _ = vol_padded.shape
         acc = jnp.zeros((D, H, W, n_out), dtype)
         wacc = jnp.zeros((D, H, W, 1), dtype)
@@ -129,10 +135,29 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
             wacc = jax.lax.dynamic_update_slice(wacc, wupd, (z, y, x, 0))
             return (acc, wacc), None
 
-        n = origins.shape[0]
-        keys = jax.random.split(key, n)
         (acc, wacc), _ = jax.lax.scan(body, (acc, wacc),
                                       (origins, valid, keys))
+        if psum_axis is not None:
+            acc = jax.lax.psum(acc, psum_axis)
+            wacc = jax.lax.psum(wacc, psum_axis)
+        return acc, wacc
+
+    @partial(jax.jit, static_argnames=())
+    def predict(params_stacked, vol_padded, origins, valid, key):
+        keys = jax.random.split(key, origins.shape[0])
+        if mesh is None:
+            acc, wacc = scan_origins(params_stacked, vol_padded, origins,
+                                     valid, keys)
+        else:
+            from jax.sharding import PartitionSpec as P
+            from dg_tta_tpu.parallel.mesh import DATA_AXIS
+            from dg_tta_tpu.parallel.tta import shard_map
+            acc, wacc = shard_map(
+                partial(scan_origins, psum_axis=DATA_AXIS), mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS),
+                          P(DATA_AXIS)),
+                out_specs=(P(), P()),
+            )(params_stacked, vol_padded, origins, valid, keys)
         # No epsilon: every voxel is covered by >=1 valid window whose floored
         # Gaussian weight is > 0 (corner weights are ~1e-11 — an epsilon
         # clamp would corrupt exactly those voxels).
@@ -145,25 +170,26 @@ _PREDICTOR_CACHE = {}
 
 
 def get_cached_predictor(model, num_out_channels=None, dtype=jnp.float32,
-                         modify_input_fn=None, modify_output_fn=None):
-    """One jitted predictor per (model, out-channels, modifiers): jit's own
-    shape cache then buckets compilations — with `predict_volume`'s
+                         modify_input_fn=None, modify_output_fn=None,
+                         mesh=None):
+    """One jitted predictor per (model, out-channels, modifiers, mesh): jit's
+    own shape cache then buckets compilations — with `predict_volume`'s
     bucket-padding, every volume sharing a (bucket shape, origin count)
     reuses one compilation instead of recompiling per volume."""
     key = (model, num_out_channels, jnp.dtype(dtype).name,
-           modify_input_fn, modify_output_fn)
+           modify_input_fn, modify_output_fn, mesh)
     if key not in _PREDICTOR_CACHE:
         _PREDICTOR_CACHE[key] = make_sliding_window_predictor(
             model, num_out_channels, dtype,
             modify_input_fn=modify_input_fn,
-            modify_output_fn=modify_output_fn)
+            modify_output_fn=modify_output_fn, mesh=mesh)
     return _PREDICTOR_CACHE[key]
 
 
 def predict_volume(model, params_stacked, vol, key=None,
                    step_fraction: float = 0.5, predictor=None,
                    modify_input_fn=None, modify_output_fn=None,
-                   bucket_multiple: int = 32):
+                   bucket_multiple: int = 32, mesh=None):
     """Convenience wrapper: pad `vol` (D, H, W, C) to cover the window grid,
     run the jitted predictor, crop back.  Returns (D, H, W, C_out) logits.
 
@@ -188,11 +214,15 @@ def predict_volume(model, params_stacked, vol, key=None,
     pads.append((0, 0))
     vmin = float(jnp.min(vol))
     volp = jnp.pad(vol, pads, constant_values=vmin)
-    origins, valid = window_origins(volp.shape[:3], patch, step_fraction)
+    pad_multiple = 8
+    if mesh is not None:
+        pad_multiple = int(np.lcm(8, mesh.size))
+    origins, valid = window_origins(volp.shape[:3], patch, step_fraction,
+                                    pad_multiple=pad_multiple)
     if predictor is None:
         predictor = get_cached_predictor(
             model, modify_input_fn=modify_input_fn,
-            modify_output_fn=modify_output_fn)
+            modify_output_fn=modify_output_fn, mesh=mesh)
     if key is None:
         key = jax.random.PRNGKey(0)
     logits = predictor(params_stacked, volp, jnp.asarray(origins),

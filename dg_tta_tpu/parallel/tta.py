@@ -65,3 +65,33 @@ def make_sharded_ensemble_fwd(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
         out_specs=P(axis_name),
     )
     return jax.jit(sharded)
+
+
+def make_sharded_stream_train(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Joint (sample x member) stream parallelism: every argument carries a
+    leading stream axis, INCLUDING the volume stack — stream s adapts on its
+    own volume(s).  This is the volume-axis sharding of SURVEY §2.3 for the
+    per-sample TTA mode: with V pending samples and E members, V*E fully
+    independent adaptation streams spread over the mesh (each sample's
+    volumes live only on the devices adapting it).
+
+    Returns fn(params (S,...), opt (S,...), keys (S,2), vols (S, Nv, ...),
+    shapes (S, Nv, 3)) -> (params, opt, losses (S,))."""
+    local = jax.vmap(fns.epoch_train.__wrapped__, in_axes=(0, 0, 0, 0, 0))
+    sharded = shard_map(
+        local, mesh,
+        in_specs=(P(axis_name),) * 5,
+        out_specs=(P(axis_name),) * 3,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+def make_sharded_stream_eval(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Per-stream center-patch eval with per-stream volumes AND labels."""
+    local = jax.vmap(fns.eval_step.__wrapped__, in_axes=(0, 0, 0, 0, 0))
+    sharded = shard_map(
+        local, mesh,
+        in_specs=(P(axis_name),) * 5,
+        out_specs=P(axis_name),
+    )
+    return jax.jit(sharded)

@@ -104,3 +104,79 @@ def test_dp_pretrain_step_on_mesh():
     # params remain replicated after the update
     leaf = jax.tree.leaves(params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sharded_stream_train_per_stream_volumes(setup):
+    """Joint (sample x member) streams: each stream adapts on its OWN
+    volume — the volume-axis parallelism of SURVEY §2.3 — and matches the
+    plain per-stream vmap bit-for-bit in loss."""
+    from dg_tta_tpu.parallel.tta import make_sharded_stream_train
+
+    m, plan, fns, params = setup
+    mesh = make_mesh(8)
+    S = 8
+    rng = np.random.default_rng(1)
+    vols = jnp.stack([synth_volume(rng)[None] for _ in range(S)])  # (S,1,..)
+    shapes = jnp.broadcast_to(jnp.asarray([[24.0, 28.0, 20.0]])[None],
+                              (S, 1, 3))
+    stacked = jax.tree.map(
+        lambda p: jnp.broadcast_to(p[None], (S, *p.shape)), params)
+    opt = jax.vmap(fns.init_opt_state)(stacked)
+    keys = jax.random.split(jax.random.PRNGKey(5), S)
+
+    ref = jax.jit(jax.vmap(fns.epoch_train.__wrapped__,
+                           in_axes=(0, 0, 0, 0, 0)))
+    _, _, loss_ref = ref(stacked, opt, keys, vols, shapes)
+
+    sh = make_sharded_stream_train(fns, mesh)
+    stacked_s = shard_ensemble_axis(jax.tree.map(
+        lambda p: jnp.broadcast_to(p[None], (S, *p.shape)), params), mesh)
+    opt_s = shard_ensemble_axis(jax.vmap(fns.init_opt_state)(stacked_s),
+                                mesh)
+    _, _, loss_sh = sh(stacked_s, opt_s, shard_ensemble_axis(keys, mesh),
+                       shard_ensemble_axis(vols, mesh),
+                       shard_ensemble_axis(shapes, mesh))
+    np.testing.assert_allclose(np.asarray(loss_ref), np.asarray(loss_sh),
+                               rtol=1e-5, atol=1e-6)
+    # distinct volumes must give distinct losses (streams truly independent)
+    assert len(set(np.asarray(loss_ref).round(8).tolist())) > 1
+
+
+def test_sharded_inference_matches_single_device(setup):
+    """Origin-axis sharded sliding window == unsharded (psum combine)."""
+    from dg_tta_tpu.infer.sliding_window import predict_volume
+
+    m, plan, fns, params = setup
+    mesh = make_mesh(8)
+    E = 2
+    stacked = jax.tree.map(
+        lambda p: jnp.broadcast_to(p[None], (E, *p.shape)), params)
+    rng = np.random.default_rng(2)
+    vol = synth_volume(rng)
+    ref = predict_volume(m, stacked, vol, key=jax.random.PRNGKey(7),
+                         bucket_multiple=4)
+    got = predict_volume(m, stacked, vol, key=jax.random.PRNGKey(7),
+                         bucket_multiple=4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_driver_path_full_size_shaped_sharded(setup):
+    """tta_one_volume's own mesh branch with the big-model semantics the
+    driver uses (chunk = min(E, n_dev) > 1): runs sharded end-to-end on the
+    CPU mesh, losses finite, per-member params distinct."""
+    from dg_tta_tpu.tta.engine import tta_one_volume
+
+    m, plan, fns, params = setup
+    rng = np.random.default_rng(3)
+    vols = synth_volume(rng)[None]
+    shapes = jnp.asarray([[24.0, 28.0, 20.0]])
+    plan4 = TTAPlan(epochs=2, patches_to_be_accumulated=2, lr=1e-3,
+                    ensemble_count=4)
+    adapted, losses, _ = tta_one_volume(
+        m, plan4, params, vols, shapes, IDX3, IDX3, jax.random.PRNGKey(9),
+        ensemble_chunk=4)
+    assert losses.shape == (2, 4) and np.isfinite(losses).all()
+    leaves = np.asarray(jax.tree.leaves(adapted)[0])
+    assert leaves.shape[0] == 4
+    assert not np.allclose(leaves[0], leaves[1])

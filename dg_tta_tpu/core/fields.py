@@ -33,15 +33,40 @@ def _avg_pool3d_same(x, k: int):
     return win / float(k**3)
 
 
+def _resize_axis_matrix(n_in: int, n_out: int, dtype=jnp.float32):
+    """(n_out, n_in) linear-interp matrix: output-pixel centers mapped into
+    the input lattice (align_corners=False), border clamp — per-axis factor
+    of F.interpolate(mode='trilinear', align_corners=False)."""
+    import numpy as np
+    pos = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    pos = np.clip(pos, 0.0, n_in - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n_in - 1)
+    f = pos - lo
+    M = np.zeros((n_out, n_in), np.float64)
+    M[np.arange(n_out), lo] += 1.0 - f
+    M[np.arange(n_out), hi] += f
+    return jnp.asarray(M, dtype)
+
+
 def _resize_trilinear(x, size_3d):
     """Trilinear resize matching F.interpolate(mode='trilinear',
-    align_corners=False): sample at output-pixel centers with border clamp."""
-    B = x.shape[0]
-    grid = tuple(jnp.broadcast_to(c[None], (B, *size_3d))
-                 for c in identity_grid(size_3d, align_corners=False,
-                                        dtype=x.dtype))
-    return grid_sample(x, grid, mode="trilinear", padding_mode="border",
-                       align_corners=False)
+    align_corners=False): sample at output-pixel centers with border clamp.
+
+    Axis-SEPARABLE, so implemented as three small interpolation matmuls
+    (MXU work, gather-free) instead of a grid_sample — a C=3 whole-volume
+    gather here would ride the slow serial emitter inside the deformable
+    TTA epoch program (PERF.md gather cliff).  Bit-for-bit the same math:
+    trilinear at a separable grid == product of per-axis linear interps.
+    """
+    B, d, h, w, C = x.shape
+    D, H, W = size_3d
+    Mz = _resize_axis_matrix(d, D, x.dtype)
+    My = _resize_axis_matrix(h, H, x.dtype)
+    Mx = _resize_axis_matrix(w, W, x.dtype)
+    x = jnp.einsum("Dd,bdhwc->bDhwc", Mz, x)
+    x = jnp.einsum("Hh,bdhwc->bdHwc", My, x)
+    return jnp.einsum("Ww,bdhwc->bdhWc", Mx, x)
 
 
 def get_rf_field(key, num_batch, size_3d, interpolation_factor: int = 4,

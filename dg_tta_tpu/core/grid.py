@@ -238,9 +238,20 @@ def grid_sample(
     gx = unpack_grid(grid)[0]
     out_spatial = gx.shape[1:4]
     flat = jnp.moveaxis(vol, -1, 1).reshape(B, C, D * H * W)
-    out = grid_sample_flat(flat, (D, H, W), grid, mode=mode,
-                           padding_mode=padding_mode,
-                           align_corners=align_corners)
+    if mode == "trilinear":
+        # trilinear endomorphic W==128 warps take the Pallas staged-gather
+        # kernel on TPU (ops/warp_pallas.py) — NOT differentiable; every
+        # grid_sample call site is grad-free (fields/extraction/aug/eval),
+        # the exact-autograd TTA path differentiates grid_sample_flat
+        # directly (tta/engine.py exact_warp_grad)
+        from dg_tta_tpu.ops.warp_pallas import warp_flat_auto
+        out = warp_flat_auto(flat, (D, H, W), grid,
+                             padding_mode=padding_mode,
+                             align_corners=align_corners)
+    else:
+        out = grid_sample_flat(flat, (D, H, W), grid, mode=mode,
+                               padding_mode=padding_mode,
+                               align_corners=align_corners)
     return jnp.moveaxis(out.reshape(B, C, *out_spatial), 1, -1)
 
 

@@ -32,11 +32,15 @@ Scope (asserted; callers fall back to the XLA path otherwise): W == 128,
 endomorphic warp (output grid spatial == source spatial), trilinear,
 zeros|border padding — exactly the TTA branch warps (tta/engine.py).
 
-Exactness: matches `grid_sample_flat` wherever the per-sample residual
+Exactness: matches `grid_sample_flat` wherever (a) the per-sample residual
 offsets (after subtracting the per-sample mean integer shift zb/yb) stay
-within the static candidate windows (pz, py voxels).  Beyond the window a
-corner snaps to the window edge — a bounded-error tail event for >~3-sigma
-affine draws (tests pin exactness on the reference distributions).
+within the static candidate windows (pz, py voxels), and (b) every drift
+stays within +-1, including across the x-shuffle distance:
+|d(z,y)_src/dx| * |x_src - x| < 2 (x has no base absorption — an x
+translation beyond ~20 voxels combined with a 0.05 cross-slope would clip
+the drift pick).  Beyond either bound a corner snaps to the nearest
+reachable voxel — a bounded-error tail event for >~3-sigma affine draws
+(tests pin exactness on the reference distributions).
 
 Reference for semantics: torch F.grid_sample via /root/reference/dg_tta/tta/
 torch_utils.py:55-73 and the warps at tta.py:549-575.

@@ -61,9 +61,52 @@ def flagship():
     return build_model(plans, dsj, trainer), (224, 224, 240)
 
 
+def _pallas_preflight(timeout_s: int = 1500) -> bool:
+    """Compile+run a small Pallas warp in a SUBPROCESS with a hard timeout.
+
+    The remote Mosaic compile helper on this stack has been observed to
+    wedge (PERF.md round 3); a hung compile inside the bench would hang the
+    whole recorded run.  A subprocess pre-flight contains that risk: on
+    timeout/failure the bench falls back to the XLA warp path
+    (DGTTA_PALLAS_WARP=0), which is the measured r2 configuration.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        "from dg_tta_tpu.core.fields import get_rand_affine\n"
+        "from dg_tta_tpu.core.grid import affine_grid, grid_sample_flat\n"
+        "from dg_tta_tpu.ops.warp_pallas import grid_sample_flat_pallas\n"
+        "D,H,W=8,16,128; N=D*H*W\n"
+        "flat = jax.random.normal(jax.random.PRNGKey(1),(1,2,N),jnp.float32)\n"
+        "th,_ = get_rand_affine(jax.random.PRNGKey(2),1)\n"
+        "g = affine_grid(th,(D,H,W),align_corners=False)\n"
+        "got = np.asarray(grid_sample_flat_pallas(flat, g, (D,H,W)))\n"
+        "ref = np.asarray(grid_sample_flat(flat,(D,H,W),g))\n"
+        "assert np.allclose(got, ref, atol=2e-5), np.abs(got-ref).max()\n"
+        "print('PALLAS_PREFLIGHT_OK')\n"
+    )
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return False
+    return "PALLAS_PREFLIGHT_OK" in (res.stdout or "")
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    if (os.environ.get("DGTTA_PALLAS_WARP") is None
+            and not os.environ.get("BENCH_SMALL")):
+        if not _pallas_preflight():
+            os.environ["DGTTA_PALLAS_WARP"] = "0"
+            print("# pallas warp preflight failed -> XLA warp fallback",
+                  flush=True)
 
     if os.environ.get("BENCH_COMPILE_CACHE", "1") == "1":
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),

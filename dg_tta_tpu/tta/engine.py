@@ -331,6 +331,9 @@ def make_tta_functions(
     )
 
 
+_TTA_FNS_CACHE = {}
+
+
 def tta_one_volume(
     model: Model,
     plan: TTAPlan,
@@ -394,11 +397,45 @@ def tta_one_volume(
                            if _out_fn is not None else _after_fn)
     else:
         fused_output_fn = modify_output_fn
-    fns = make_tta_functions(
-        model, plan, map_idxs_pretrain, map_idxs_tta,
-        modify_input_fn=modify_input_fn, modify_output_fn=fused_output_fn,
-        remat=remat, exact_warp_grad=exact_warp_grad,
-        patch_group=patch_group)
+    # process-level cache: tta_one_volume runs once per sample, and a fresh
+    # make_tta_functions per call would RETRACE (and re-look-up/compile)
+    # every epoch program for every volume — several seconds each on the
+    # full-size model even with a warm persistent compile cache
+    fns_key = (model, plan,
+               tuple(int(i) for i in np.asarray(map_idxs_pretrain)),
+               tuple(int(i) for i in np.asarray(map_idxs_tta)),
+               modify_input_fn, fused_output_fn if (
+                   modify_after_mapping_fn is None) else
+               (modify_output_fn, modify_after_mapping_fn),
+               remat, exact_warp_grad, patch_group)
+    try:
+        cached = _TTA_FNS_CACHE.get(fns_key)
+    except TypeError:  # unhashable modifier callables: skip caching
+        fns_key, cached = None, None
+    if cached is None:
+        fns = make_tta_functions(
+            model, plan, map_idxs_pretrain, map_idxs_tta,
+            modify_input_fn=modify_input_fn,
+            modify_output_fn=fused_output_fn,
+            remat=remat, exact_warp_grad=exact_warp_grad,
+            patch_group=patch_group)
+        # single-device vmapped entry points live with fns so their jit
+        # caches survive across volumes too (vmap is batch-size-polymorphic:
+        # one callable serves every chunk size; also used for a trailing
+        # partial chunk the mesh does not divide)
+        cached = (
+            fns,
+            jax.jit(jax.vmap(fns.epoch_train.__wrapped__,
+                             in_axes=(0, 0, 0, None, None)),
+                    donate_argnums=(0, 1)),
+            jax.jit(jax.vmap(fns.epoch_fwd.__wrapped__,
+                             in_axes=(0, 0, None, None))),
+            jax.jit(jax.vmap(fns.eval_step.__wrapped__,
+                             in_axes=(0, 0, None, None, None))),
+        )
+        if fns_key is not None:
+            _TTA_FNS_CACHE[fns_key] = cached
+    fns, train_v, fwd_v, eval_v = cached
 
     # multi-chip: the members of a chunk are independent adaptation streams —
     # shard them over the mesh's data axis (shard_map; plain vmap+sharding
@@ -421,18 +458,6 @@ def tta_one_volume(
             train_sh = make_sharded_ensemble_train(fns, mesh)
             fwd_sh = make_sharded_ensemble_fwd(fns, mesh)
             eval_sh = make_sharded_ensemble_eval(fns, mesh)
-    # single-device fallback (also used for a trailing partial chunk whose
-    # size the mesh does not divide); jit is lazy, unused paths cost nothing
-    train_v = jax.jit(
-        jax.vmap(fns.epoch_train.__wrapped__,
-                 in_axes=(0, 0, 0, None, None)),
-        donate_argnums=(0, 1))
-    fwd_v = jax.jit(
-        jax.vmap(fns.epoch_fwd.__wrapped__, in_axes=(0, 0, None, None)))
-    eval_v = jax.jit(
-        jax.vmap(fns.eval_step.__wrapped__,
-                 in_axes=(0, 0, None, None, None)))
-
     # ONE dispatch per epoch for the member PRNG streams: on the axon tunnel
     # every small dispatch after a host transfer costs ~100ms (PERF.md), so
     # the per-epoch key plumbing must not fan out into several ops

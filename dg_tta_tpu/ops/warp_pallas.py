@@ -145,12 +145,11 @@ def _stage_y(A, Zoff_ext, Yoff_ext, py, pyh, T):
         dzy = Zm - Zs
         neg = dzy <= -1
         pos = dzy >= 1
+        sh = {e: mid(A[e], d) for e in _EZ}  # one slice per variant field
         picked = {}
         for ez in _E4:
-            base = mid(A[ez], d)
-            lo = mid(A[ez - 1], d)
-            hi = mid(A[ez + 1], d)
-            picked[ez] = jnp.where(neg, lo, jnp.where(pos, hi, base))
+            picked[ez] = jnp.where(neg, sh[ez - 1],
+                                   jnp.where(pos, sh[ez + 1], sh[ez]))
         for ey in _E4:
             want = d - ey
             if want < -py or want > py:

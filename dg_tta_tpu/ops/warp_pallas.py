@@ -225,8 +225,15 @@ def _global_bases(zs, ys, D, H):
     return zb.astype(jnp.int32), yb.astype(jnp.int32)
 
 
-def _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, padding_mode,
-                 pack, out_dtype):
+def _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, Rc, Rp,
+                 padding_mode, pack, out_dtype):
+    """Kernel with the most conservative Mosaic scaffolding available:
+    channels are a GRID dimension (innermost, so coords/decisions for a slab
+    are recomputed per channel — ~10% extra VPU for no in-kernel loop and no
+    dynamic stores), the coord/src inputs are 2D flat-row refs in ANY memory
+    (a single dynamic-start row-slice DMA each), and the output block store
+    is fully static.  An earlier in-kernel channel fori_loop with a
+    dynamic-index output store faulted the TPU worker (see PERF.md)."""
     ext_n = T + 2 * pyh
     slab_lo = (pz + 2) * H  # slab row of ext-row -pyh at dz == 0
 
@@ -234,15 +241,23 @@ def _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, padding_mode,
                cz, cy, cx, slab, sem):
         b = pl.program_id(0)
         i = pl.program_id(1)
+        c = pl.program_id(2)
         zb = bases_ref[0, 0]
         yb = bases_ref[0, 1]
 
-        # coords for the extended tile (pre-padded by pyh rows on the host)
+        # coords for the extended tile (pre-padded by pyh rows on the host);
+        # refs are 2D (B*Rc, 128): one dynamic row-slice each
         for ref, dst in ((zs_ref, cz), (ys_ref, cy), (xs_ref, cx)):
             cp = pltpu.make_async_copy(
-                ref.at[b, pl.ds(i * T, ext_n), :], dst, sem)
+                ref.at[pl.ds(b * Rc + i * T, ext_n), :], dst, sem)
             cp.start()
             cp.wait()
+
+        row0 = ((b * Cp + c) * Rp
+                + i * T - pyh - (pz + 2) * H + PAD + zb * H + yb)
+        cp = pltpu.make_async_copy(
+            src_ref.at[pl.ds(row0, S_rows), :], slab, sem)
+        cp.start()
 
         R0 = i * T - pyh
         zo, yo = _own_fields(R0, ext_n, H)
@@ -261,25 +276,16 @@ def _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, padding_mode,
             wy=[mid(w) for w in dec["wy"]],
             wx=[mid(w) for w in dec["wx"]])
 
-        row0 = i * T - pyh - (pz + 2) * H + PAD + zb * H + yb
+        cp.wait()
 
-        def body(c, carry):
-            cp = pltpu.make_async_copy(
-                src_ref.at[b, c, pl.ds(row0, S_rows), :], slab, sem)
-            cp.start()
-            cp.wait()
+        def slab_at(dz):
+            s = slab_lo + dz * H
+            return slab[s:s + ext_n, :]
 
-            def slab_at(dz):
-                s = slab_lo + dz * H
-                return slab[s:s + ext_n, :]
-
-            A = _stage_z(slab_at, Zoff_ext, pz, H)
-            Bf = _stage_y(A, Zoff_ext, Yoff_ext, py, pyh, T)
-            res = _stage_x_combine(Bf, dec_mid, pack)
-            out_ref[0, pl.ds(c, 1)] = res.astype(out_dtype)[None]
-            return carry
-
-        jax.lax.fori_loop(0, Cp, body, 0)
+        A = _stage_z(slab_at, Zoff_ext, pz, H)
+        Bf = _stage_y(A, Zoff_ext, Yoff_ext, py, pyh, T)
+        res = _stage_x_combine(Bf, dec_mid, pack)
+        out_ref[0, 0] = res.astype(out_dtype)
 
     return kernel
 
@@ -354,8 +360,11 @@ def grid_sample_flat_pallas(flat, grid, src_spatial, padding_mode="zeros",
         src = flat.astype(jnp.float32)
         kdtype = jnp.float32
     Cp = src.shape[1]
+    # src as FLAT 2D rows: (B*Cp*Rp, 128), Rp = R + 2*PAD per channel plane
     src = src.reshape(B, Cp, R, 128)
     src = jnp.pad(src, ((0, 0), (0, 0), (PAD, PAD), (0, 0)))
+    Rp = R + 2 * PAD
+    src = src.reshape(B * Cp * Rp, 128)
 
     # pick the largest tile (in z-slices) <= 4 that divides D
     tz = 1
@@ -367,24 +376,27 @@ def grid_sample_flat_pallas(flat, grid, src_spatial, padding_mode="zeros",
     n_slab = D // tz
     S_rows = T + 2 * pyh + (2 * pz + 5) * H
 
-    def padc(c):
-        return jnp.pad(c, ((0, 0), (pyh, pyh), (0, 0)), mode="edge")
+    Rc = R + 2 * pyh
 
-    kern = _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp,
+    def padc(c):
+        return jnp.pad(c, ((0, 0), (pyh, pyh), (0, 0)),
+                       mode="edge").reshape(B * Rc, 128)
+
+    kern = _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, Rc, Rp,
                         padding_mode, pack, kdtype)
     out = pl.pallas_call(
         kern,
-        grid=(B, n_slab),
+        grid=(B, n_slab, Cp),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda b, i: (b, 0),
+            pl.BlockSpec((1, 2), lambda b, i, c: (b, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, Cp, T, 128),
-                               lambda b, i: (b, 0, i, 0)),
+        out_specs=pl.BlockSpec((1, 1, T, 128),
+                               lambda b, i, c: (b, c, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Cp, R, 128), kdtype),
         scratch_shapes=[
             pltpu.VMEM((T + 2 * pyh, 128), jnp.float32),

@@ -18,7 +18,7 @@ step() {
 }
 
 # 0. health
-step health 120 python -c "import jax; print('alive', jax.jit(lambda x: x+1)(jax.numpy.ones(4)).sum())" || exit 1
+for i in 1 2 3; do step health 150 python -c "import jax; print(float(jax.jit(lambda x: x+1)(jax.numpy.ones(4)).sum()))" && break; sleep 60; done
 
 # 1. small warp kernel compile+correctness (the preflight shape)
 step warp_small 1500 python -c "

@@ -226,7 +226,7 @@ def _global_bases(zs, ys, D, H):
 
 
 def _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, Rc, Rp,
-                 padding_mode, pack, out_dtype):
+                 padding_mode, pack, out_dtype, stage_limit=4):
     """Kernel with the most conservative Mosaic scaffolding available:
     channels are a GRID dimension (innermost, so coords/decisions for a slab
     are recomputed per channel — ~10% extra VPU for no in-kernel loop and no
@@ -282,8 +282,26 @@ def _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, Rc, Rp,
             s = slab_lo + dz * H
             return slab[s:s + ext_n, :]
 
+        # stage_limit: worker-fault bisect knob (DGTTA_PALLAS_STAGE_LIMIT):
+        # 0 = DMA plumbing only, 1 = +decisions, 2 = +stage Z, 3 = +stage Y,
+        # 4 = full kernel.  Partial stages write a placeholder result.
+        if stage_limit == 0:
+            out_ref[0, 0] = slab_at(0)[pyh:pyh + T, :].astype(out_dtype)
+            return
+        if stage_limit == 1:
+            out_ref[0, 0] = (dec_mid["wz"][0]
+                             + dec_mid["Zoff"].astype(jnp.float32)
+                             ).astype(out_dtype)
+            return
         A = _stage_z(slab_at, Zoff_ext, pz, H)
+        if stage_limit == 2:
+            out_ref[0, 0] = jax.lax.slice_in_dim(
+                A[0], pyh, pyh + T, axis=0).astype(out_dtype)
+            return
         Bf = _stage_y(A, Zoff_ext, Yoff_ext, py, pyh, T)
+        if stage_limit == 3:
+            out_ref[0, 0] = Bf[(0, 0)].astype(out_dtype)
+            return
         res = _stage_x_combine(Bf, dec_mid, pack)
         out_ref[0, 0] = res.astype(out_dtype)
 
@@ -382,8 +400,10 @@ def grid_sample_flat_pallas(flat, grid, src_spatial, padding_mode="zeros",
         return jnp.pad(c, ((0, 0), (pyh, pyh), (0, 0)),
                        mode="edge").reshape(B * Rc, 128)
 
+    import os
+    stage_limit = int(os.environ.get("DGTTA_PALLAS_STAGE_LIMIT", "4"))
     kern = _make_kernel(D, H, T, pyh, pz, py, S_rows, PAD, Cp, Rc, Rp,
-                        padding_mode, pack, kdtype)
+                        padding_mode, pack, kdtype, stage_limit=stage_limit)
     out = pl.pallas_call(
         kern,
         grid=(B, n_slab, Cp),

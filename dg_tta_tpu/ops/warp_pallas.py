@@ -435,15 +435,22 @@ def grid_sample_flat_pallas(flat, grid, src_spatial, padding_mode="zeros",
 
 
 def warp_flat_auto(flat, src_spatial, grid, padding_mode="zeros",
-                   align_corners=False):
-    """`grid_sample_flat` that takes the Pallas kernel on supported shapes.
+                   align_corners=False, need_grad=False):
+    """`grid_sample_flat` routed to the selected implementation.
 
-    Auto-enables on the TPU backend for trilinear endomorphic W==128 warps
-    (the TTA hot path); everything else — other backends, other shapes,
-    differentiated call sites — uses the XLA path.  DGTTA_PALLAS_WARP=0
-    disables.  NOT differentiable (the engine's warp call sites are all
-    under custom_vjp or grad-free; the exact_warp_grad path calls
-    grid_sample_flat directly).
+    DGTTA_WARP_IMPL selects: "auto" (default), "mixed", "onehot", "pallas",
+    "xla".  On-chip measurements (PERF.md round 3) drive the default:
+      * auto = the XLA gather path everywhere.  The gather-free one-hot
+        warp (ops/warp_onehot.py) measured 2.6x FASTER standalone at C=1
+        but 2x SLOWER in the fused acc2 epoch at C=10 (XLA materializes
+        every select of the variant-field chains: acc2 2.76 s vs 1.35 s),
+        so it is NOT the default.
+      * mixed = one-hot for C==1 warps, XLA for multi-channel (probe knob).
+      * onehot = one-hot wherever supported (any backend).
+      * pallas = the Mosaic staged kernel — explicit opt-in only: it has
+        faulted the TPU worker on this stack (PERF.md round 3) and is NOT
+        differentiable (`need_grad=True` call sites never take it);
+        DGTTA_PALLAS_WARP=0 also vetoes it.
     """
     import os
 
@@ -451,15 +458,24 @@ def warp_flat_auto(flat, src_spatial, grid, padding_mode="zeros",
 
     gx = unpack_grid(grid)[0]
     out_spatial = tuple(gx.shape[-3:])
-    use = (os.environ.get("DGTTA_PALLAS_WARP", "1") == "1"
-           and jax.default_backend() == "tpu"
-           and flat.dtype in (jnp.float32, jnp.bfloat16)
-           and pallas_warp_supported(flat.shape, tuple(src_spatial),
-                                     out_spatial))
-    if use:
-        return grid_sample_flat_pallas(flat, grid, tuple(src_spatial),
-                                       padding_mode=padding_mode,
-                                       align_corners=align_corners)
+    impl = os.environ.get("DGTTA_WARP_IMPL", "auto")
+    if impl == "pallas" and not need_grad:
+        if (os.environ.get("DGTTA_PALLAS_WARP", "1") == "1"
+                and jax.default_backend() == "tpu"
+                and flat.dtype in (jnp.float32, jnp.bfloat16)
+                and pallas_warp_supported(flat.shape, tuple(src_spatial),
+                                          out_spatial)):
+            return grid_sample_flat_pallas(flat, grid, tuple(src_spatial),
+                                           padding_mode=padding_mode,
+                                           align_corners=align_corners)
+        impl = "auto"
+    if impl == "onehot" or (impl == "mixed" and flat.shape[1] == 1):
+        from dg_tta_tpu.ops.warp_onehot import (grid_sample_flat_onehot,
+                                                onehot_warp_supported)
+        if onehot_warp_supported(tuple(src_spatial), out_spatial):
+            return grid_sample_flat_onehot(flat, grid, tuple(src_spatial),
+                                           padding_mode=padding_mode,
+                                           align_corners=align_corners)
     return grid_sample_flat(flat, src_spatial, grid,
                             padding_mode=padding_mode,
                             align_corners=align_corners)

@@ -101,7 +101,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    if (os.environ.get("DGTTA_PALLAS_WARP") is None
+    # Default warp routing never touches Mosaic: affine branches take the
+    # MXU shear resampler (ops/warp_shear.py, DGTTA_AFFINE_SHEAR=auto) and
+    # grid warps take the XLA gather path (DGTTA_WARP_IMPL=auto).  The
+    # Pallas kernel is explicit opt-in via DGTTA_WARP_IMPL=pallas, and only
+    # then is the wedge-containment subprocess pre-flight worth its cost.
+    if (os.environ.get("DGTTA_WARP_IMPL") == "pallas"
+            and os.environ.get("DGTTA_PALLAS_WARP") is None
             and not os.environ.get("BENCH_SMALL")):
         if not _pallas_preflight():
             os.environ["DGTTA_PALLAS_WARP"] = "0"

@@ -1,0 +1,214 @@
+"""MXU 3-pass shear-factorized affine warp — the TPU-native resampler.
+
+The TTA branch warps (reference torch `F.grid_sample` of an affine grid,
+/root/reference/dg_tta/tta/torch_utils.py:55-73, tta.py:549-575) are the
+dominant cost of the fused epoch on this stack: XLA's fast dynamic-gather
+emitter abandons every real epoch program and the slow emitter costs
+~100-250 ms per multi-channel warp (PERF.md gather cliff), while the
+select-chain one-hot formulation (ops/warp_onehot.py) does not fuse and
+measured 2x slower still.  This module removes the gather entirely by
+mapping the warp onto the MXU:
+
+  an affine sampling map s(p) = A p + b factorizes into three single-axis
+  shear passes s = g_x ∘ g_y ∘ g_z (Catmull–Smith multi-pass resampling),
+  and a single-axis linear resample IS a batched matmul with a per-row
+  two-tap one-hot matrix:  out[.., o] = Σ_s vals[.., s] · M[.., s, o],
+  M[.., s, o] = (1-f)·[s == floor(c_o)] + f·[s == floor(c_o)+1].
+
+Per C=10 full-size unwarp this is ~23 GFLOP of bf16 batched GEMM plus
+~3-5 GB of one-hot-matrix traffic — milliseconds, vs ~quarter-seconds for
+the gather forms — and it is built from iota-compares and dot_generals
+only: nothing can trip the gather emitter, and jax.grad gives the EXACT
+adjoint (transposed matmuls) instead of engine.py's |det|-scaled
+inverse-warp approximation.
+
+Fidelity: multi-pass resampling is NOT bit-identical to direct trilinear
+interpolation — each pass linearly interpolates the previous pass's output,
+so for maps with off-diagonal terms (rotations/shears) the effective kernel
+differs from the trilinear kernel by O(h^2 · offdiag) (both are O(h^2)
+approximations of the continuous field; translations and axis-aligned
+scales are EXACT, including torch zeros/border padding semantics).  For the
+reference's near-identity augmentation family (strength 0.05) the measured
+deviation vs grid_sample_flat is ~1e-3 of the value range in the interior
+with a similarly bounded band at volume faces (tests/test_warp_shear.py).
+The XLA trilinear path remains the reference semantics and the
+exact_warp_grad path.
+
+Decomposition (voxel coords p = (z, y, x), rows a_z, a_y, a_x of A):
+  pass z (applied last):   ζ(z, y, x)  = a_z · p + b_z
+  pass y:  η(z', y, x) with η(s_z(p), y, x) = s_y(p):
+           c = a_yz / a_zz
+           η = c z' + (a_yy - c a_zy) y + (a_yx - c a_zx) x + b_y - c b_z
+  pass x:  ξ(z', y', x) with ξ(s_z(p), s_y(p), x) = s_x(p):
+           (c_z, c_y) = (a_xz, a_xy) · [[a_zz, a_zy], [a_yz, a_yy]]^-1
+           ξ = c_z z' + c_y y' + (a_xx - c_z a_zx - c_y a_yx) x
+               + b_x - c_z b_z - c_y b_y
+Near-identity maps keep a_zz and the 2x2 determinant near 1, so the
+factorization is well-conditioned exactly where the TTA uses it.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_T_IDX = {0: 2, 1: 1, 2: 0}  # axis index (z,y,x) -> theta row/col (x,y,z)
+
+
+def _n0_slope(size, align_corners):
+    """Normalized coord of voxel 0 and d(normalized)/d(voxel index)."""
+    if align_corners:
+        return -1.0, 2.0 / (size - 1)
+    return 1.0 / size - 1.0, 2.0 / size
+
+
+def affine_vox_map(theta, src_spatial, align_corners=False):
+    """torch-style theta (B, 3, 4) -> voxel-space sampling map (A, b).
+
+    s(p) = A @ p + b with p = (z, y, x) voxel indices of the OUTPUT grid and
+    s the (z, y, x) voxel coordinates sampled from the source, matching
+    grid_sample_flat(affine_grid(theta)) exactly (core/grid.py:49-92).
+    """
+    theta = jnp.asarray(theta)
+    B = theta.shape[0]
+    S = tuple(src_spatial)  # (D, H, W) indexed by axis 0=z, 1=y, 2=x
+    rows = []
+    offs = []
+    for k in range(3):  # output coordinate axis (z, y, x)
+        r = _T_IDX[k]
+        n0s = []
+        coeffs = []
+        for l in range(3):  # input (grid) axis (z, y, x)
+            n0, slope = _n0_slope(S[l], align_corners)
+            n0s.append(n0)
+            # d s_k / d p_l in voxel units
+            if align_corners:
+                coeffs.append(theta[:, r, _T_IDX[l]] * (S[k] - 1) / (S[l] - 1))
+            else:
+                coeffs.append(theta[:, r, _T_IDX[l]] * S[k] / S[l])
+        rows.append(jnp.stack(coeffs, axis=-1))  # (B, 3)
+        # offset: s_k at p = 0
+        norm0 = (theta[:, r, _T_IDX[0]] * n0s[0]
+                 + theta[:, r, _T_IDX[1]] * n0s[1]
+                 + theta[:, r, _T_IDX[2]] * n0s[2]
+                 + theta[:, r, 3])
+        if align_corners:
+            offs.append((norm0 + 1.0) * 0.5 * (S[k] - 1))
+        else:
+            offs.append(((norm0 + 1.0) * S[k] - 1.0) * 0.5)
+    A = jnp.stack(rows, axis=1)  # (B, 3, 3)
+    b = jnp.stack(offs, axis=-1)  # (B, 3)
+    return A, b
+
+
+def shear_pass_coeffs(A, b):
+    """Shear factorization of (A, b) -> per-pass affine coordinate fields.
+
+    Returns ((cz, bz), (cy, by), (cx, bx)) where each c is (B, 3) coeffs of
+    the pass's sampling coordinate wrt the pass-buffer's own (z, y, x)
+    indices and b is its (B,) offset — see module docstring for the
+    derivation and conditioning notes.
+    """
+    az, ay, ax = A[:, 0], A[:, 1], A[:, 2]  # (B, 3) rows
+    bz, by, bx = b[:, 0], b[:, 1], b[:, 2]
+    # pass z
+    pz = (az, bz)
+    # pass y
+    c = ay[:, 0] / az[:, 0]
+    py = (jnp.stack([c, ay[:, 1] - c * az[:, 1], ay[:, 2] - c * az[:, 2]],
+                    axis=-1),
+          by - c * bz)
+    # pass x: (c_z, c_y) = (a_xz, a_xy) @ inv([[a_zz, a_zy], [a_yz, a_yy]])
+    det = az[:, 0] * ay[:, 1] - az[:, 1] * ay[:, 0]
+    cz = (ax[:, 0] * ay[:, 1] - ax[:, 1] * ay[:, 0]) / det
+    cy = (ax[:, 1] * az[:, 0] - ax[:, 0] * az[:, 1]) / det
+    px = (jnp.stack([cz, cy, ax[:, 2] - cz * az[:, 2] - cy * ay[:, 2]],
+                    axis=-1),
+          bx - cz * bz - cy * by)
+    return pz, py, px
+
+
+def _pass_field(coeff, off, spatial, dtype=jnp.float32):
+    """(B, 3) coeffs + (B,) offset -> (B, D, H, W) coordinate field."""
+    D, H, W = spatial
+    zi = jax.lax.broadcasted_iota(dtype, (D, H, W), 0)
+    yi = jax.lax.broadcasted_iota(dtype, (D, H, W), 1)
+    xi = jax.lax.broadcasted_iota(dtype, (D, H, W), 2)
+    c = coeff.astype(dtype)
+    return (c[:, 0, None, None, None] * zi[None]
+            + c[:, 1, None, None, None] * yi[None]
+            + c[:, 2, None, None, None] * xi[None]
+            + off.astype(dtype)[:, None, None, None])
+
+
+def _onehot_lerp_matrix(field, size, padding_mode, m_dtype):
+    """Two-tap interpolation matrix for one axis.
+
+    field: (..., O) per-output-element source coordinate along the axis.
+    Returns (..., O, size) with rows summing to the lerp weights (zeros
+    mode masks out-of-range taps; border clamps the coordinate first —
+    torch grid_sample padding semantics per axis).
+    """
+    if padding_mode == "border":
+        field = jnp.clip(field, 0.0, size - 1.0)
+    fc = jnp.floor(field)
+    f = (field - fc).astype(m_dtype)
+    fci = fc.astype(jnp.int32)
+    s = jax.lax.broadcasted_iota(jnp.int32, (size,), 0)
+    lo = (s == fci[..., None]).astype(m_dtype)
+    hi = (s == (fci + 1)[..., None]).astype(m_dtype)
+    # zeros mode: taps outside [0, size) simply never match the iota, so the
+    # matrix row is zero there — exactly torch's zero padding
+    return lo * (1.0 - f)[..., None] + hi * f[..., None]
+
+
+def _resample_axis(vals, field, axis, padding_mode, m_dtype):
+    """Linearly resample `vals` (B, C, D, H, W) along `axis` (2, 3, or 4) at
+    per-element coordinates `field` (B, D, H, W) via a one-hot matmul."""
+    size = vals.shape[axis]
+    M = _onehot_lerp_matrix(field, size, padding_mode, m_dtype)  # (B,D,H,W,s)
+    acc = jnp.float32
+    if axis == 4:
+        out = jnp.einsum("bczys,bzyxs->bczyx", vals, M,
+                         preferred_element_type=acc)
+    elif axis == 3:
+        out = jnp.einsum("bczsx,bzyxs->bczyx", vals, M,
+                         preferred_element_type=acc)
+    else:
+        out = jnp.einsum("bcsyx,bzyxs->bczyx", vals, M,
+                         preferred_element_type=acc)
+    return out.astype(vals.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "src_spatial", "padding_mode", "align_corners", "m_dtype_name"))
+def warp_affine_shear(flat, theta, src_spatial, padding_mode="zeros",
+                      align_corners=False, m_dtype_name=None):
+    """Shear-factorized resample of (B, C, N) channels-first flat volumes.
+
+    Drop-in for grid_sample_flat(flat, src_spatial, affine_grid(theta))
+    up to the multi-pass kernel difference (module docstring).  theta is
+    the torch-style (B, 3, 4) normalized-coordinate matrix; endomorphic
+    (output grid == source grid) like all TTA branch warps.
+
+    m_dtype_name: dtype for the one-hot matrices ("float32"/"bfloat16");
+    defaults to the value dtype.  Accumulation is always f32.
+    """
+    B, C, N = flat.shape
+    D, H, W = src_spatial
+    assert N == D * H * W, (flat.shape, src_spatial)
+    m_dtype = jnp.dtype(m_dtype_name) if m_dtype_name else flat.dtype
+    theta = jax.lax.stop_gradient(jnp.asarray(theta))
+
+    A, b = affine_vox_map(theta, src_spatial, align_corners)
+    (cz, bz), (cy, by), (cx, bx) = shear_pass_coeffs(A, b)
+    vol = flat.reshape(B, C, D, H, W)
+    # pass x, then y, then z (composition order: s = g_x after g_y after
+    # g_z means the x-shear touches source data first)
+    vol = _resample_axis(vol, _pass_field(cx, bx, src_spatial), 4,
+                         padding_mode, m_dtype)
+    vol = _resample_axis(vol, _pass_field(cy, by, src_spatial), 3,
+                         padding_mode, m_dtype)
+    vol = _resample_axis(vol, _pass_field(cz, bz, src_spatial), 2,
+                         padding_mode, m_dtype)
+    return vol.reshape(B, C, N)

@@ -177,6 +177,22 @@ def make_tta_functions(
     intensity_on = plan.intensity_aug_function == "GIN"
     grads_enabled = plan.have_grad_in in ("branch_a", "both")
     ident = identity_grid(patch_size, align_corners=False)
+    # Affine branch warps route through the MXU 3-pass shear resampler
+    # (ops/warp_shear.py) on TPU: gather-free, exact autodiff adjoint, and
+    # ~20x cheaper than the slow-emitter gathers in the fused program
+    # (PERF.md round 3).  DGTTA_AFFINE_SHEAR=0 disables, =1 forces (any
+    # backend); "auto" enables on the TPU backend.  exact_warp_grad keeps
+    # the strict trilinear XLA path (the shear filter differs O(h^2) on
+    # rotation/shear terms — warp_shear.py fidelity contract).
+    import os
+    _shear_env = os.environ.get("DGTTA_AFFINE_SHEAR", "auto")
+    use_shear = (plan.spatial_aug_type == "affine" and not exact_warp_grad
+                 and (_shear_env == "1"
+                      or (_shear_env == "auto"
+                          and jax.default_backend() == "tpu")))
+    shear_m_dtype = ("bfloat16"
+                     if getattr(model, "compute_dtype", None) == "bfloat16"
+                     else None)
 
     def branch_aug(key, imgs, branch_id):
         """Pre-model augmentation of one branch; returns the augmented input
@@ -190,8 +206,20 @@ def make_tta_functions(
         spatial = _in_branch(plan.do_spatial_aug_in, branch_id)
         warp_ctx = None
         if spatial:
+            Cin = x.shape[-1]
+            xf = jnp.moveaxis(x, -1, 1).reshape(B, Cin, -1)
             if plan.spatial_aug_type == "affine":
                 theta, theta_inv = get_rand_affine(k_sp, B)
+                if use_shear:
+                    # MXU shear path: no grids, no adjoint scale — the
+                    # unwarp differentiates exactly through the matmuls
+                    from dg_tta_tpu.ops.warp_shear import warp_affine_shear
+                    xf = warp_affine_shear(xf, theta, patch_size,
+                                           padding_mode="border",
+                                           align_corners=False,
+                                           m_dtype_name=shear_m_dtype)
+                    x = jnp.moveaxis(xf.reshape(B, Cin, *patch_size), 1, -1)
+                    return x, ("shear", theta_inv)
                 grid = affine_grid(theta, patch_size, align_corners=False)
                 grid_inv = affine_grid(theta_inv, patch_size,
                                        align_corners=False)
@@ -216,19 +244,23 @@ def make_tta_functions(
             # No gradient flows here (x is input-derived), so the
             # non-differentiable Pallas path is safe.
             from dg_tta_tpu.ops.warp_pallas import warp_flat_auto
-            Cin = x.shape[-1]
-            xf = jnp.moveaxis(x, -1, 1).reshape(B, Cin, -1)
             xf = warp_flat_auto(xf, patch_size, grid,
                                 padding_mode="border", align_corners=False)
             x = jnp.moveaxis(xf.reshape(B, Cin, *patch_size), 1, -1)
-            warp_ctx = (grid, grid_inv, adj_scale)
+            warp_ctx = ("grid", grid, grid_inv, adj_scale)
         return x, warp_ctx
 
     def branch_unwarp_flat(logits_flat, warp_ctx):
         """Undo the branch warp on channels-first flat (B, C, N) logits."""
         if warp_ctx is None:
             return logits_flat
-        grid, grid_inv, adj_scale = warp_ctx
+        if warp_ctx[0] == "shear":
+            from dg_tta_tpu.ops.warp_shear import warp_affine_shear
+            return warp_affine_shear(logits_flat, warp_ctx[1], patch_size,
+                                     padding_mode="zeros",
+                                     align_corners=False,
+                                     m_dtype_name=shear_m_dtype)
+        _, grid, grid_inv, adj_scale = warp_ctx
         if exact_warp_grad:
             return grid_sample_flat(logits_flat, patch_size, grid_inv,
                                     padding_mode="zeros",

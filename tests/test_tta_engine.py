@@ -290,3 +290,26 @@ def test_save_member_fn_called_per_member():
                    save_member_fn=lambda i, p, l, d: saved.update({i: l}))
     assert sorted(saved) == [0, 2]
     assert all(v.shape == (1,) for v in saved.values())
+
+
+def test_shear_engine_matches_grid_engine_closely(monkeypatch):
+    """DGTTA_AFFINE_SHEAR=1 swaps the affine branch warps for the MXU
+    3-pass shear resampler (ops/warp_shear.py).  Same seeds -> same draws,
+    so the per-epoch losses must track the XLA-trilinear engine within the
+    multi-pass kernel difference, and adaptation must still work."""
+    plan = TTAPlan(epochs=3, patches_to_be_accumulated=2, lr=1e-3,
+                   params_with_grad="all")
+    losses = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("DGTTA_AFFINE_SHEAR", mode)
+        from dg_tta_tpu.tta import engine as eng
+        eng._TTA_FNS_CACHE.clear()  # env changes invalidate cached fns
+        _, out = _run(plan, seed=11)
+        losses[mode] = np.asarray(out[1]).mean(axis=-1).ravel()
+        eng._TTA_FNS_CACHE.clear()
+    for l in losses.values():
+        assert np.isfinite(l).all()
+        assert l[-1] < l[0]  # both engines adapt
+    # same seeds, same augmentation draws; only the resampling filter
+    # differs -> losses close but not necessarily identical
+    np.testing.assert_allclose(losses["1"], losses["0"], rtol=0.15, atol=0.02)

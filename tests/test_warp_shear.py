@@ -1,0 +1,174 @@
+"""Correctness of the MXU 3-pass shear warp (ops/warp_shear.py).
+
+Exactness structure mirrors the module's fidelity contract:
+  * pure translations and axis-aligned scales are EXACT vs grid_sample_flat
+    (tested on white noise, both padding modes, incl. out-of-range regions);
+  * the voxel-space affine map (affine_vox_map) must reproduce the
+    unnormalized affine_grid coordinates exactly — this pins the torch
+    grid conventions independent of the resampling filter;
+  * maps with off-diagonal terms use a different (equally valid) multi-pass
+    kernel, so they are compared on SMOOTH data where both filters
+    approximate the continuous field to O(h^2) — white noise would show
+    O(1) pointwise kernel differences by design, not by bug;
+  * the warp is linear in the values and jax.grad must give the exact
+    transposed-matmul adjoint (checked against the XLA path on an exact
+    case, and via the dot-product adjoint identity on a general affine).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dg_tta_tpu.core.fields import get_rand_affine
+from dg_tta_tpu.core.grid import (affine_grid, grid_sample_flat,
+                                  unpack_grid, _unnormalize)
+from dg_tta_tpu.ops.warp_shear import affine_vox_map, warp_affine_shear
+
+DHW = (12, 14, 16)
+N = int(np.prod(DHW))
+
+
+def _theta(rows, batch=1):
+    return jnp.tile(jnp.asarray(rows, jnp.float32)[None], (batch, 1, 1))
+
+
+def translation_theta(shift_vox, dhw, batch=1):
+    d, h, w = dhw
+    sz, sy, sx = shift_vox
+    return _theta([[1.0, 0, 0, 2.0 * sx / w],
+                   [0, 1.0, 0, 2.0 * sy / h],
+                   [0, 0, 1.0, 2.0 * sz / d]], batch)
+
+
+def smooth_volume(B, C, dhw, seed=0):
+    """Band-limited smooth test data: products of low-frequency harmonics."""
+    D, H, W = dhw
+    z = np.arange(D)[:, None, None] / D
+    y = np.arange(H)[None, :, None] / H
+    x = np.arange(W)[None, None, :] / W
+    rng = np.random.default_rng(seed)
+    vols = []
+    for _ in range(B * C):
+        a, b, c = rng.uniform(0.5, 1.5, 3)
+        p, q, r = rng.uniform(0, 2 * np.pi, 3)
+        vols.append(np.sin(2 * np.pi * a * z + p)
+                    * np.cos(2 * np.pi * b * y + q)
+                    * np.sin(2 * np.pi * c * x + r))
+    return jnp.asarray(np.stack(vols).reshape(B, C, -1), jnp.float32)
+
+
+def test_affine_vox_map_matches_affine_grid():
+    theta, theta_inv = get_rand_affine(jax.random.PRNGKey(3), 2)
+    for t in (theta, theta_inv):
+        A, b = affine_vox_map(t, DHW, align_corners=False)
+        gx, gy, gz = unpack_grid(affine_grid(t, DHW, align_corners=False))
+        D, H, W = DHW
+        zi = jax.lax.broadcasted_iota(jnp.float32, DHW, 0)
+        yi = jax.lax.broadcasted_iota(jnp.float32, DHW, 1)
+        xi = jax.lax.broadcasted_iota(jnp.float32, DHW, 2)
+        for k, (g, size) in enumerate(((gz, D), (gy, H), (gx, W))):
+            want = _unnormalize(g, size, False)
+            got = (A[:, k, 0, None, None, None] * zi
+                   + A[:, k, 1, None, None, None] * yi
+                   + A[:, k, 2, None, None, None] * xi
+                   + b[:, k, None, None, None])
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("shift", [(0.0, 0.0, 0.0), (1.25, -2.5, 3.75),
+                                   (-7.6, 5.1, -4.9)])
+def test_translation_exact_on_noise(padding_mode, shift):
+    B, C = 2, 3
+    flat = jax.random.normal(jax.random.PRNGKey(1), (B, C, N), jnp.float32)
+    theta = translation_theta(shift, DHW, batch=B)
+    ref = grid_sample_flat(flat, DHW, affine_grid(theta, DHW),
+                           padding_mode=padding_mode, align_corners=False)
+    got = warp_affine_shear(flat, theta, DHW, padding_mode=padding_mode,
+                            align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_axis_aligned_scale_exact_on_noise(padding_mode):
+    B, C = 1, 2
+    flat = jax.random.normal(jax.random.PRNGKey(2), (B, C, N), jnp.float32)
+    theta = _theta([[1.13, 0, 0, 0.04],
+                    [0, 0.91, 0, -0.06],
+                    [0, 0, 1.07, 0.02]], B)
+    ref = grid_sample_flat(flat, DHW, affine_grid(theta, DHW),
+                           padding_mode=padding_mode, align_corners=False)
+    got = warp_affine_shear(flat, theta, DHW, padding_mode=padding_mode,
+                            align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_reference_affine_family_on_smooth_data(seed):
+    """Random strength-0.05 draws (the reference TTA distribution) on smooth
+    volumes: the multi-pass kernel must track direct trilinear closely."""
+    B, C = 2, 2
+    flat = smooth_volume(B, C, DHW, seed=seed)
+    theta, theta_inv = get_rand_affine(jax.random.PRNGKey(seed), B)
+    for t in (theta, theta_inv):
+        ref = grid_sample_flat(flat, DHW, affine_grid(t, DHW),
+                               padding_mode="zeros", align_corners=False)
+        got = warp_affine_shear(flat, t, DHW, padding_mode="zeros",
+                                align_corners=False)
+        err = np.abs(np.asarray(got) - np.asarray(ref))
+        # interior bound: O(h^2 * offdiag) kernel difference on unit-range
+        # smooth data; faces can differ over a ~1-voxel in/out band
+        assert err.mean() < 5e-3, err.mean()
+        assert err.max() < 0.15, err.max()
+
+
+def test_grad_exact_case_matches_xla():
+    B, C = 1, 2
+    theta = translation_theta((1.25, -2.5, 0.75), DHW, batch=B)
+    grid = affine_grid(theta, DHW)
+    cot = jax.random.normal(jax.random.PRNGKey(9), (B, C, N), jnp.float32)
+    flat = jax.random.normal(jax.random.PRNGKey(8), (B, C, N), jnp.float32)
+
+    g_ref = jax.grad(lambda f: jnp.sum(grid_sample_flat(
+        f, DHW, grid, padding_mode="zeros", align_corners=False) * cot))(flat)
+    g_got = jax.grad(lambda f: jnp.sum(warp_affine_shear(
+        f, theta, DHW, padding_mode="zeros",
+        align_corners=False) * cot))(flat)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_adjoint_identity_general_affine():
+    """<W v, u> == <v, W^T u> — jax.grad must be the exact adjoint of the
+    linear map for ANY affine, not just the exact-filter cases."""
+    B, C = 1, 2
+    theta, _ = get_rand_affine(jax.random.PRNGKey(4), B)
+    v = jax.random.normal(jax.random.PRNGKey(5), (B, C, N), jnp.float32)
+    u = jax.random.normal(jax.random.PRNGKey(6), (B, C, N), jnp.float32)
+
+    def warp(f):
+        return warp_affine_shear(f, theta, DHW, padding_mode="zeros",
+                                 align_corners=False)
+
+    lhs = jnp.sum(warp(v) * u)
+    wt_u = jax.grad(lambda f: jnp.sum(warp(f) * u))(v)
+    rhs = jnp.sum(v * wt_u)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=2e-4)
+
+
+def test_bf16_smoke():
+    B, C = 1, 3
+    flat = smooth_volume(B, C, DHW, seed=3).astype(jnp.bfloat16)
+    theta, _ = get_rand_affine(jax.random.PRNGKey(7), B)
+    got = warp_affine_shear(flat, theta, DHW, padding_mode="zeros",
+                            align_corners=False)
+    assert got.dtype == jnp.bfloat16
+    ref = warp_affine_shear(flat.astype(jnp.float32), theta, DHW,
+                            padding_mode="zeros", align_corners=False)
+    np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
+                               np.asarray(ref), rtol=0.05, atol=0.05)

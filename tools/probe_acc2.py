@@ -67,6 +67,20 @@ def build():
     padded = pad_to_bucket(jnp.asarray(vol), bucket, pad_value=-1.0)[None]
     shapes = jnp.asarray([[float(s) for s in vol_shape]])
     key = jax.random.PRNGKey(1)
+    if os.environ.get("PROBE_VMAP"):
+        # the driver-path program: jit(vmap(epoch_train)) at chunk size
+        # PROBE_VMAP (engine.tta_one_volume wraps this way even for chunk=1)
+        n = int(os.environ["PROBE_VMAP"])
+        fn = jax.jit(jax.vmap(fns.epoch_train.__wrapped__,
+                              in_axes=(0, 0, 0, None, None)),
+                     donate_argnums=(0, 1))
+        params = jax.tree.map(
+            lambda p: jnp.broadcast_to(p[None], (n, *p.shape)), params)
+        opt_state = jax.vmap(fns.init_opt_state)(params)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(n, dtype=jnp.int32))
+        args = (params, opt_state, keys, padded, shapes)
+        return fn, args
     args = (params, opt_state, key, padded, shapes)
     return fns.epoch_train, args
 
@@ -109,14 +123,18 @@ def run_timed(fn, args, iters=5):
     # outputs can return before the compute finishes (measured 0.004 s for a
     # 4.3 TFLOP program), so float() is the only trustworthy fence.
     params, opt_state = out[0], out[1]
-    float(out[2])
+    float(np.asarray(out[2]).sum())
+    def next_key(i):
+        if key.ndim > 1:  # vmapped driver-path probe: a batch of keys
+            return jax.vmap(lambda k: jax.random.fold_in(k, i))(key)
+        return jax.random.fold_in(key, i)
+
     ts = []
     for i in range(iters):
         t0 = time.perf_counter()
-        params, opt_state, loss = fn(params, opt_state,
-                                     jax.random.fold_in(key, i),
+        params, opt_state, loss = fn(params, opt_state, next_key(i),
                                      padded, shapes)
-        float(loss)
+        float(np.asarray(loss).sum())
         ts.append(time.perf_counter() - t0)
     print(json.dumps({"epoch_s": round(min(ts), 4), "all": [round(t, 4) for t in ts]}))
     return params, opt_state

@@ -67,6 +67,30 @@ def make_sharded_ensemble_fwd(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.jit(sharded)
 
 
+def make_sharded_member_run(fns, mesh: Mesh, with_labels: bool,
+                            axis_name: str = DATA_AXIS):
+    """jit(shard_map(vmap(member_run))): each device runs its local members'
+    FULL adaptation (all epochs in one program — engine.member_run) with the
+    initial params and volumes replicated and only the member keys sharded.
+
+    Returns fn(pretrained_params, keys (M, 2), vols, shapes[, labels])
+    -> (params (M, ...), losses (M, epochs), dices (M, epochs))."""
+    raw = fns.member_run.__wrapped__
+    if with_labels:
+        local = jax.vmap(raw, in_axes=(None, 0, None, None, None))
+        in_specs = (P(), P(axis_name), P(), P(), P())
+    else:
+        local = jax.vmap(lambda p, k, v, s: raw(p, k, v, s),
+                         in_axes=(None, 0, None, None))
+        in_specs = (P(), P(axis_name), P(), P())
+    sharded = shard_map(
+        local, mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis_name),) * 3,
+    )
+    return jax.jit(sharded)
+
+
 def make_sharded_stream_train(fns, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Joint (sample x member) stream parallelism: every argument carries a
     leading stream axis, INCLUDING the volume stack — stream s adapts on its

@@ -134,6 +134,8 @@ class TTAFunctions:
     epoch_train: Callable  # (params, opt, key, vols, shapes) -> (params, opt, loss)
     epoch_fwd: Callable    # (params, key, vols, shapes) -> loss
     eval_step: Callable    # (params, key, vols, shapes, labels) -> dice
+    member_run: Callable   # (params, key, vols, shapes[, labels]) ->
+    #                        (params, losses (epochs,), dices (epochs,))
     grads_enabled: bool
 
 
@@ -354,16 +356,85 @@ def make_tta_functions(
     def init_opt_state(params):
         return make_optimizer(plan, params).init(params)
 
+    n_ep = int(plan.epochs)
+    start_ep = int(plan.start_tta_at_epoch)
+
+    def member_run(params, key, vols, shapes, labels=None):
+        """One ensemble member's FULL adaptation as ONE program.
+
+        lax.scan over the epochs (reference driver loop tta.py:157-374) with
+        the optimizer initialized in-program: the driver dispatches once per
+        member instead of 2x/epoch, which removes the per-dispatch and
+        post-host-transfer penalties of this stack entirely (PERF.md r3).
+        `key` is the member's base key (fold_in(run_key, member_id)); epoch
+        and salt folds reproduce tta_one_volume's historical member_keys
+        derivation bit-exactly, so losses/resume artifacts are unchanged.
+        Labels (optional, compile-time presence) enable the per-epoch
+        center-patch pseudo-Dice eval (tta.py:283-338).
+        """
+        opt_state = init_opt_state(params)
+        deterministic = not (model.uses_mind and model.mind_noise_scale)
+        single_vol = vols.shape[0] == 1
+        eval_reps = (1 if (deterministic and single_vol)
+                     else plan.tta_eval_patches)
+
+        def body(carry, ep):
+            params, opt_state = carry
+            k_ep = jax.random.fold_in(key, ep)
+            k_tr = jax.random.fold_in(k_ep, 0)
+
+            def do_train(p, o):
+                return epoch_train(p, o, k_tr, vols, shapes)
+
+            def do_fwd(p, o):
+                return p, o, epoch_fwd(p, k_tr, vols, shapes)
+
+            if not grads_enabled:
+                params, opt_state, loss = do_fwd(params, opt_state)
+            elif start_ep <= 0:
+                params, opt_state, loss = do_train(params, opt_state)
+            else:
+                # epochs before start_tta_at_epoch log the loss but do not
+                # update (tta.py:274-279)
+                params, opt_state, loss = jax.lax.cond(
+                    ep >= start_ep, do_train, do_fwd, params, opt_state)
+            if labels is None:
+                dice = jnp.float32(jnp.nan)
+            else:
+                evals = [eval_step(params, jax.random.fold_in(k_ep, 1 + e),
+                                   vols, shapes, labels)
+                         for e in range(eval_reps)]
+                dice = jnp.mean(jnp.stack(evals))
+            return (params, opt_state), (loss, dice)
+
+        (params, _), (losses, dices) = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_ep, dtype=jnp.int32))
+        return params, losses, dices
+
     return TTAFunctions(
         init_opt_state=init_opt_state,
         epoch_train=jax.jit(epoch_train, donate_argnums=(0, 1)),
         epoch_fwd=jax.jit(epoch_fwd),
         eval_step=jax.jit(eval_step),
+        member_run=jax.jit(member_run),
         grads_enabled=grads_enabled,
     )
 
 
 _TTA_FNS_CACHE = {}
+
+
+@jax.jit
+def _fold_member_keys(key, ids_arr):
+    """Per-member base keys in ONE dispatch (member_run folds epoch/salt)."""
+    return jax.vmap(lambda m: jax.random.fold_in(key, m))(ids_arr)
+
+
+@jax.jit
+def _expand0(tree):
+    """Re-add the leading member axis to a single member's params (one
+    dispatch instead of one tiny op per leaf)."""
+    return jax.tree.map(lambda x: x[None], tree)
 
 
 def tta_one_volume(
@@ -409,8 +480,8 @@ def tta_one_volume(
         completion one after another, so a crash loses at most the chunk in
         flight.
       split: use the split-dispatch epoch (engine_split.py — warps and the
-        U-Net in separate XLA programs, the TPU gather-cliff workaround).
-        None = auto: on for a single-device TPU backend, off elsewhere.
+        U-Net in separate XLA programs).  Strict opt-in (None/False = fused);
+        incompatible with exact_warp_grad/remat.
 
     Returns:
       (stacked adapted params with leading axis over `member_indices`,
@@ -464,10 +535,15 @@ def tta_one_volume(
                              in_axes=(0, 0, None, None))),
             jax.jit(jax.vmap(fns.eval_step.__wrapped__,
                              in_axes=(0, 0, None, None, None))),
+            # whole-member program batched over a chunk: initial params are
+            # UNMAPPED (vmap broadcasts; no materialized copies), labels may
+            # be None (jit specializes on pytree structure)
+            jax.jit(jax.vmap(fns.member_run.__wrapped__,
+                             in_axes=(None, 0, None, None, None))),
         )
         if fns_key is not None:
             _TTA_FNS_CACHE[fns_key] = cached
-    fns, train_v, fwd_v, eval_v = cached
+    fns, train_v, fwd_v, eval_v, member_v = cached
 
     # multi-chip: the members of a chunk are independent adaptation streams —
     # shard them over the mesh's data axis (shard_map; plain vmap+sharding
@@ -481,15 +557,10 @@ def tta_one_volume(
                     if chunk % d == 0)
         if n_use > 1:
             from dg_tta_tpu.parallel.mesh import make_mesh, shard_ensemble_axis
-            from dg_tta_tpu.parallel.tta import (
-                make_sharded_ensemble_eval,
-                make_sharded_ensemble_fwd,
-                make_sharded_ensemble_train,
-            )
+            from dg_tta_tpu.parallel.tta import make_sharded_member_run
             mesh = make_mesh(n_use)
-            train_sh = make_sharded_ensemble_train(fns, mesh)
-            fwd_sh = make_sharded_ensemble_fwd(fns, mesh)
-            eval_sh = make_sharded_ensemble_eval(fns, mesh)
+            member_sh = make_sharded_member_run(
+                fns, mesh, with_labels=labels_padded is not None)
     # ONE dispatch per epoch for the member PRNG streams: on the axon tunnel
     # every small dispatch after a host transfer costs ~100ms (PERF.md), so
     # the per-epoch key plumbing must not fan out into several ops
@@ -541,40 +612,53 @@ def tta_one_volume(
     for c0 in range(0, len(members), chunk):
         ids = members[c0:c0 + chunk]
         sharded = mesh is not None and len(ids) % mesh.size == 0
-        sfns = get_split_fns(ids) if use_split else None
-        train_c, fwd_c, eval_c = ((train_sh, fwd_sh, eval_sh) if sharded
-                                  else (train_v, fwd_v, eval_v))
+        if not use_split:
+            kms = _fold_member_keys(key, jnp.asarray(ids, jnp.int32))
+            if sharded:
+                kms = shard_ensemble_axis(kms, mesh)
+                lab = ((labels_padded,) if labels_padded is not None else ())
+                params_c, lm, dm = member_sh(pretrained_params, kms,
+                                             vols_padded, true_shapes, *lab)
+            elif len(ids) == 1:
+                p1, lm, dm = fns.member_run(pretrained_params, kms[0],
+                                            vols_padded, true_shapes,
+                                            labels_padded)
+                params_c, lm, dm = _expand0(p1), lm[:, None].T, dm[:, None].T
+            else:
+                params_c, lm, dm = member_v(pretrained_params, kms,
+                                            vols_padded, true_shapes,
+                                            labels_padded)
+            losses = np.asarray(lm).T    # (epochs, len(ids))
+            dices = np.asarray(dm).T
+            if log_fn is not None:
+                for ep in range(plan.epochs):
+                    log_fn(ep, losses[ep], dices[ep])
+            if save_member_fn is not None:
+                for i, m in enumerate(ids):
+                    save_member_fn(m, jax.tree.map(lambda p: p[i], params_c),
+                                   losses[:, i], dices[:, i])
+            params_parts.append(params_c)
+            losses_parts.append(losses)
+            dices_parts.append(dices)
+            continue
+        sfns = get_split_fns(ids)
         params_c = jax.tree.map(
             lambda p: jnp.broadcast_to(p[None], (len(ids), *p.shape)),
             pretrained_params)
-        if sharded:
-            params_c = shard_ensemble_axis(params_c, mesh)
-        if use_split:
-            opt_c = sfns.init_opt_state(params_c)
-            eval_c = sfns.eval_step
-        else:
-            opt_c = jax.vmap(fns.init_opt_state)(params_c)
+        opt_c = sfns.init_opt_state(params_c)
+        eval_c = sfns.eval_step
         losses, dices = [], []
         for epoch in range(plan.epochs):
-            ks = member_keys(ids, epoch, 0)
-            if sharded:
-                ks = shard_ensemble_axis(ks, mesh)
-            if use_split:
-                # the split engine folds global member ids (passed as data)
-                k_ep = jax.random.fold_in(jax.random.fold_in(key, epoch), 0)
-                ids_arr = jnp.asarray(ids, jnp.int32)
-                if sfns.grads_enabled and epoch >= plan.start_tta_at_epoch:
-                    params_c, opt_c, loss = sfns.epoch_train(
-                        params_c, opt_c, k_ep, ids_arr, vols_padded,
-                        true_shapes)
-                else:
-                    loss = sfns.epoch_fwd(params_c, k_ep, ids_arr,
-                                          vols_padded, true_shapes)
-            elif fns.grads_enabled and epoch >= plan.start_tta_at_epoch:
-                params_c, opt_c, loss = train_c(
-                    params_c, opt_c, ks, vols_padded, true_shapes)
+            # the split engine folds global member ids (passed as data)
+            k_ep = jax.random.fold_in(jax.random.fold_in(key, epoch), 0)
+            ids_arr = jnp.asarray(ids, jnp.int32)
+            if sfns.grads_enabled and epoch >= plan.start_tta_at_epoch:
+                params_c, opt_c, loss = sfns.epoch_train(
+                    params_c, opt_c, k_ep, ids_arr, vols_padded,
+                    true_shapes)
             else:
-                loss = fwd_c(params_c, ks, vols_padded, true_shapes)
+                loss = sfns.epoch_fwd(params_c, k_ep, ids_arr,
+                                      vols_padded, true_shapes)
             if labels_padded is not None:
                 # tta_eval_patches averages repeated center-patch evals
                 # (tta.py:285-338 uses fixed "center" patches).  A repeat
@@ -589,8 +673,6 @@ def tta_one_volume(
                 evals = []
                 for e in range(eval_reps):
                     kse = member_keys(ids, epoch, 1 + e)
-                    if sharded:
-                        kse = shard_ensemble_axis(kse, mesh)
                     evals.append(eval_c(params_c, kse, vols_padded,
                                         true_shapes, labels_padded))
                 dice = jnp.mean(jnp.stack(evals), axis=0)

@@ -437,6 +437,14 @@ def _expand0(tree):
     return jax.tree.map(lambda x: x[None], tree)
 
 
+@jax.jit
+def _concat0(trees):
+    """Concatenate a list of member-param trees along the member axis in ONE
+    dispatch (per-leaf dispatches cost ~90 ms each once the process has done
+    any host transfer — PERF.md)."""
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *trees)
+
+
 def tta_one_volume(
     model: Model,
     plan: TTAPlan,
@@ -695,11 +703,12 @@ def tta_one_volume(
     if len(params_parts) == 1:
         params = params_parts[0]
     else:
-        # host-side concat: after a full-size adaptation HBM is near peak;
-        # a device concat here can OOM for zero benefit (callers save
-        # per-member files / reload for inference anyway)
-        params = jax.tree.map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs]),
-            *params_parts)
+        # DEVICE-side concat.  The extra HBM is only n_members x ~66 MB of
+        # params (temps are freed between dispatches), while a host concat
+        # pulls every member tree through the axon tunnel — measured at
+        # well under 1 MB/s device->host (tools/probe_transfer.py timed out
+        # at >580 s for ~315 MB), which alone accounted for the ~75 s gap
+        # between member_run compute (114.8 s) and the r3e bench (190.2 s).
+        params = _concat0(params_parts)
     return (params, np.concatenate(losses_parts, axis=1),
             np.concatenate(dices_parts, axis=1))

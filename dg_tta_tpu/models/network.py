@@ -22,8 +22,22 @@ from dg_tta_tpu.models.plans import (
     patch_size_from_plans,
 )
 from dg_tta_tpu.models.unet import unet_apply, init_unet_params
+from dg_tta_tpu.models.unet_fold import unet_apply_folded, foldable
 from dg_tta_tpu.ops.gin import gin_aug
 from dg_tta_tpu.ops.mind import mind3d, MIND_OUT_CHANNELS
+
+
+def _use_folded_unet(spec) -> bool:
+    """Route the U-Net through the folded (z-into-H) formulation.
+
+    OPT-IN ONLY (DGTTA_UNET_FOLD=1): on-chip measurement (PERF.md r3g,
+    tools/probe_fold.py) showed the tall folded image runs the convs ~3x
+    slower than the batched z-tap decomposition — the layout copies it
+    removes are cheaper than the conv-shape it creates.  Kept for layout
+    experiments; never auto-selected.
+    """
+    import os
+    return os.environ.get("DGTTA_UNET_FOLD", "0") == "1" and foldable(spec)
 
 # trainer name -> (internal GIN at pretraining, MIND descriptor always)
 TRAINER_REGISTRY = {
@@ -69,6 +83,11 @@ class Model:
             x = gin_aug(k_gin, x)
         if self.uses_mind:
             x = mind3d(x, key=k_mind, noise_scale=self.mind_noise_scale)
+        if _use_folded_unet(self.spec):
+            return unet_apply_folded(params, x, self.spec,
+                                     deep_supervision=deep_supervision,
+                                     compute_dtype=self.compute_dtype,
+                                     head_channel_idx=head_channel_idx)
         return unet_apply(params, x, self.spec,
                           deep_supervision=deep_supervision,
                           compute_dtype=self.compute_dtype,

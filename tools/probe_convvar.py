@@ -1,0 +1,128 @@
+"""Compare conv formulations for the U-Net's hot full-res blocks on TPU.
+
+The r3f trace + HLO show each conv instance picks its own emitter
+(EmitInputBatchInLanes wants batch-minor operands, others want W-minor),
+forcing 200-400 MB layout copies around every conv (~10 GiB/epoch).  The
+candidates:
+
+  v_ztap   current unet._conv (z-tap 2D decomposition)      [baseline]
+  v_3d     direct lax 3D convolution NDHWC (round-1 verdict was 7x im2col
+           HBM blowup in f32 — re-measured here under bf16 + current XLA)
+  v_dotin  z-tap 2D + IN statistics via dot_general (ones-contraction on
+           the MXU) instead of reduce — tests whether the reduce's layout
+           preference causes the flips
+
+Each runs a 3-block conv+IN+leaky chain at the decoder-top shape
+(B=2,D=112,H=112,W=128,C=32), fwd and bwd, bf16.
+
+Env: PROBE_VARIANTS comma list (default all), PROBE_LAYERS, PROBE_* dims
+as tools/probe_fold.py.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from dg_tta_tpu.models.unet import _conv, _instance_norm, _leaky
+
+    B = int(os.environ.get("PROBE_B", 2))
+    D = int(os.environ.get("PROBE_D", 112))
+    H = int(os.environ.get("PROBE_H", 112))
+    W = int(os.environ.get("PROBE_W", 128))
+    C = int(os.environ.get("PROBE_C", 32))
+    dt = (jnp.bfloat16 if os.environ.get("PROBE_BF16", "1") == "1"
+          else jnp.float32)
+    n_layers = int(os.environ.get("PROBE_LAYERS", 3))
+    eps = 1e-5
+    variants = os.environ.get("PROBE_VARIANTS", "ztap,3d,dotin").split(",")
+
+    key = jax.random.PRNGKey(0)
+    ws = [0.05 * jax.random.normal(jax.random.fold_in(key, i),
+                                   (3, 3, 3, C, C), dt)
+          for i in range(n_layers)]
+    bs = [jnp.zeros((C,), dt) for _ in range(n_layers)]
+    sc = [jnp.ones((C,), dt) for _ in range(n_layers)]
+    bi = [jnp.zeros((C,), dt) for _ in range(n_layers)]
+    x = jax.random.normal(jax.random.fold_in(key, 99), (B, D, H, W, C), dt)
+
+    def conv3d_direct(h, w, b):
+        dn = jax.lax.conv_dimension_numbers(
+            h.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        r = jax.lax.conv_general_dilated(
+            h, w, (1, 1, 1), [(1, 1), (1, 1), (1, 1)],
+            dimension_numbers=dn, preferred_element_type=h.dtype)
+        return r + b
+
+    def in_dot(h, scale, bias):
+        B_, D_, H_, W_, C_ = h.shape
+        n = float(D_ * H_ * W_)
+        h2 = h.reshape(B_, D_ * H_ * W_, C_)
+        ones = jnp.ones((D_ * H_ * W_,), h.dtype)
+        s1 = jax.lax.dot_general(
+            ones, h2, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (B, C) f32
+        s2 = jax.lax.dot_general(
+            ones, (h2 * h2), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        mean32 = (s1 / n).reshape(B_, 1, 1, 1, C_)
+        m2 = (s2 / n).reshape(B_, 1, 1, 1, C_)
+        var = jnp.maximum(m2 - jnp.square(mean32), 0.0)
+        inv = jax.lax.rsqrt(var + eps).astype(h.dtype)
+        return (h - mean32.astype(h.dtype)) * (inv * scale) + bias
+
+    def make_chain(conv_fn, in_fn):
+        def chain(x, ws):
+            h = x
+            for w, b, s, bb in zip(ws, bs, sc, bi):
+                h = conv_fn(h, w, b)
+                h = in_fn(h, s, bb)
+                h = _leaky(h, 0.01)
+            return h
+        return chain
+
+    chains = {
+        "ztap": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),
+                           lambda h, s, b: _instance_norm(h, s, b, eps)),
+        "3d": make_chain(conv3d_direct,
+                         lambda h, s, b: _instance_norm(h, s, b, eps)),
+        "dotin": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),
+                            in_dot),
+    }
+
+    ref_out = None
+    res = {}
+    for name in variants:
+        chain = chains[name]
+        f = jax.jit(chain)
+        g = jax.jit(jax.grad(
+            lambda ws, x: jnp.sum(chain(x, ws).astype(jnp.float32) ** 2)))
+        out = np.asarray(f(x, ws), np.float32)
+        if ref_out is None:
+            ref_out = out
+        else:
+            err = float(np.abs(out - ref_out).max())
+            res[f"{name}_err"] = round(err, 5)
+        for tag, fn in ((f"fwd_{name}", lambda: f(x, ws)),
+                        (f"bwd_{name}", lambda: g(ws, x))):
+            o = fn()
+            jax.block_until_ready(o)
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                o = fn()
+                jax.block_until_ready(o)
+                ts.append(time.perf_counter() - t0)
+            res[f"{tag}_ms"] = round(min(ts) * 1e3, 2)
+            print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

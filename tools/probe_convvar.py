@@ -61,6 +61,29 @@ def main():
             dimension_numbers=dn, preferred_element_type=h.dtype)
         return r + b
 
+    def conv_ztap_nchw(x5, w, b):
+        """z-tap decomposition with NCHW operands: W (=128 lanes) is the
+        minor dim, testing whether feeding the conv the layout its
+        preferred emitter wants kills the per-conv operand copies."""
+        B_, D_, H_, W_, C_ = x5.shape
+        kd, kh, kw, ci, co = w.shape
+        x = jnp.pad(x5, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        dn2 = jax.lax.conv_dimension_numbers(
+            (B_ * D_, C_, H_, W_), (co, ci, kh, kw),
+            ("NCHW", "OIHW", "NCHW"))
+        out = None
+        for kz in range(kd):
+            xs = jax.lax.slice(
+                x, (0, kz, 0, 0, 0), (B_, kz + D_, H_, W_, C_))
+            xs = jnp.moveaxis(xs.reshape(B_ * D_, H_, W_, C_), -1, 1)
+            wk = jnp.transpose(w[kz], (3, 2, 0, 1))   # (co, ci, kh, kw)
+            r = jax.lax.conv_general_dilated(
+                xs, wk, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn2,
+                preferred_element_type=x5.dtype)
+            out = r if out is None else out + r
+        out = jnp.moveaxis(out, 1, -1).reshape(B_, D_, H_, W_, co)
+        return out + b
+
     def in_dot(h, scale, bias):
         B_, D_, H_, W_, C_ = h.shape
         n = float(D_ * H_ * W_)
@@ -88,6 +111,42 @@ def main():
             return h
         return chain
 
+    def chain_bdchw(x, ws):
+        """End-to-end (B, D, C, H, W) carrier: tap slices on D, the (B,D)
+        batch merge is a leading-dims reshape (layout-free), convs NCHW,
+        IN reduces dims (1,3,4)."""
+        h = jnp.moveaxis(x, -1, 2)   # (B, D, C, H, W) — once per chain
+        for w, b, s, bb in zip(ws, bs, sc, bi):
+            kd, kh, kw, ci, co = w.shape
+            B_, D_, C_, H_, W_ = h.shape
+            xpad = jnp.pad(h, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            dn2 = jax.lax.conv_dimension_numbers(
+                (B_ * D_, C_, H_, W_), (co, ci, kh, kw),
+                ("NCHW", "OIHW", "NCHW"))
+            out = None
+            for kz in range(kd):
+                xs = jax.lax.slice(
+                    xpad, (0, kz, 0, 0, 0), (B_, kz + D_, C_, H_, W_))
+                r = jax.lax.conv_general_dilated(
+                    xs.reshape(B_ * D_, C_, H_, W_),
+                    jnp.transpose(w[kz], (3, 2, 0, 1)), (1, 1),
+                    [(1, 1), (1, 1)], dimension_numbers=dn2,
+                    preferred_element_type=h.dtype)
+                out = r if out is None else out + r
+            h = out.reshape(B_, D_, co, H_, W_) + b[None, None, :, None, None]
+            # IN over (D, H, W) with channel on dim 2
+            mean32 = jnp.mean(h, axis=(1, 3, 4), keepdims=True,
+                              dtype=jnp.float32)
+            m2 = jnp.mean(jnp.square(h), axis=(1, 3, 4), keepdims=True,
+                          dtype=jnp.float32)
+            var = jnp.maximum(m2 - jnp.square(mean32), 0.0)
+            inv = jax.lax.rsqrt(var + eps).astype(h.dtype)
+            h = ((h - mean32.astype(h.dtype))
+                 * (inv * s[None, None, :, None, None])
+                 + bb[None, None, :, None, None])
+            h = _leaky(h, 0.01)
+        return jnp.moveaxis(h, 2, -1)
+
     chains = {
         "ztap": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),
                            lambda h, s, b: _instance_norm(h, s, b, eps)),
@@ -95,6 +154,9 @@ def main():
                          lambda h, s, b: _instance_norm(h, s, b, eps)),
         "dotin": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),
                             in_dot),
+        "nchw": make_chain(conv_ztap_nchw,
+                           lambda h, s, b: _instance_norm(h, s, b, eps)),
+        "bdchw": chain_bdchw,
     }
 
     ref_out = None

@@ -56,6 +56,10 @@ def main():
     ap.add_argument("--time", action="store_true")
     ap.add_argument("--analyze", action="store_true")
     ap.add_argument("--profile", action="store_true")
+    ap.add_argument("--hlo", metavar="PATH",
+                    help="dump the compiled member program's optimized HLO "
+                         "text (AOT, cache-warm: no big compile) so trace op "
+                         "names (fusion.NNNN) can be looked up by metadata")
     a = ap.parse_args()
     import jax
     cache = os.path.join(os.path.dirname(os.path.dirname(
@@ -65,6 +69,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     fn, args, n_ep = build()
     params, key, padded, shapes = args
+    if a.hlo:
+        compiled = fn.lower(params, key, padded, shapes, None).compile()
+        with open(a.hlo, "w") as f:
+            f.write(compiled.as_text())
+        print(f"optimized HLO -> {a.hlo}")
     if a.analyze:
         compiled = fn.lower(params, key, padded, shapes, None).compile()
         ma = compiled.memory_analysis()

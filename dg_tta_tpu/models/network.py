@@ -23,6 +23,7 @@ from dg_tta_tpu.models.plans import (
 )
 from dg_tta_tpu.models.unet import unet_apply, init_unet_params
 from dg_tta_tpu.models.unet_fold import unet_apply_folded, foldable
+from dg_tta_tpu.models.unet_zpack import unet_apply_zpack
 from dg_tta_tpu.ops.gin import gin_aug
 from dg_tta_tpu.ops.mind import mind3d, MIND_OUT_CHANNELS
 
@@ -38,6 +39,24 @@ def _use_folded_unet(spec) -> bool:
     """
     import os
     return os.environ.get("DGTTA_UNET_FOLD", "0") == "1" and foldable(spec)
+
+
+def _use_zpack_unet() -> bool:
+    """Route stride-1 stage convs through the z-packed-channels carrier
+    (models/unet_zpack.py): G z-slices folded into lanes so the C=32/64
+    stages run dense 128-channel 2D convs at full MXU width instead of
+    1/16-width z-tap convs wrapped in per-conv layout copies.
+
+    DGTTA_UNET_ZPACK: 1 = on, 0 = off, auto = on for the TPU backend.
+    Default is OFF until the on-chip probe validates the win (never ship an
+    unmeasured default — r2 verdict).
+    """
+    import os
+    v = os.environ.get("DGTTA_UNET_ZPACK", "0")
+    if v in ("1", "0"):
+        return v == "1"
+    import jax
+    return jax.default_backend() == "tpu"
 
 # trainer name -> (internal GIN at pretraining, MIND descriptor always)
 TRAINER_REGISTRY = {
@@ -88,6 +107,11 @@ class Model:
                                      deep_supervision=deep_supervision,
                                      compute_dtype=self.compute_dtype,
                                      head_channel_idx=head_channel_idx)
+        if _use_zpack_unet():
+            return unet_apply_zpack(params, x, self.spec,
+                                    deep_supervision=deep_supervision,
+                                    compute_dtype=self.compute_dtype,
+                                    head_channel_idx=head_channel_idx)
         return unet_apply(params, x, self.spec,
                           deep_supervision=deep_supervision,
                           compute_dtype=self.compute_dtype,

@@ -1,0 +1,123 @@
+"""z-packed U-Net (models/unet_zpack.py) vs the reference-pinned z-tap
+implementation (models/unet.py — itself torch-pinned in test_unet.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dg_tta_tpu.models.plans import ArchSpec
+from dg_tta_tpu.models.unet import _conv, init_unet_params, unet_apply
+from dg_tta_tpu.models.unet_zpack import (
+    _group_for,
+    conv_packed,
+    pack_z,
+    unpack_z,
+    unet_apply_zpack,
+)
+
+
+def small_spec(n_stages=3, feats=(8, 16, 32), classes=5, cin=1):
+    return ArchSpec(
+        features_per_stage=feats[:n_stages],
+        kernel_sizes=((3, 3, 3),) * n_stages,
+        strides=((1, 1, 1),) + ((2, 2, 2),) * (n_stages - 1),
+        n_conv_per_stage_encoder=(2,) * n_stages,
+        n_conv_per_stage_decoder=(2,) * (n_stages - 1),
+        num_input_channels=cin,
+        num_classes=classes,
+    )
+
+
+def test_pack_roundtrip():
+    x = jnp.arange(2 * 8 * 3 * 4 * 6, dtype=jnp.float32).reshape(2, 8, 3, 4, 6)
+    for G in (1, 2, 4):
+        np.testing.assert_array_equal(unpack_z(pack_z(x, G), G), x)
+
+
+def test_group_for():
+    assert _group_for(32, 112) == 4
+    assert _group_for(64, 56) == 2
+    assert _group_for(128, 28) == 1
+    assert _group_for(32, 6) == 2      # divisibility cap
+    assert _group_for(32, 7) == 1
+
+
+@pytest.mark.parametrize("G,ci,co", [(4, 8, 8), (2, 8, 16), (4, 16, 8)])
+def test_conv_packed_matches_conv(G, ci, co):
+    key = jax.random.PRNGKey(0)
+    B, D, H, W = 2, 8, 6, 10
+    x = jax.random.normal(key, (B, D, H, W, ci))
+    w = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, ci, co))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (co,))
+    ref = _conv(x, w, b)
+    out = unpack_z(conv_packed(pack_z(x, G), w, b, G), G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv_packed_grads_match():
+    key = jax.random.PRNGKey(3)
+    B, D, H, W, C, G = 1, 8, 5, 6, 4, 4
+    x = jax.random.normal(key, (B, D, H, W, C))
+    w = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, C, C))
+    b = jnp.zeros((C,))
+
+    def loss_ref(w, x):
+        return jnp.sum(_conv(x, w, b) ** 2)
+
+    def loss_packed(w, x):
+        return jnp.sum(conv_packed(pack_z(x, G), w, b, G) ** 2)
+
+    gw_ref, gx_ref = jax.grad(loss_ref, argnums=(0, 1))(w, x)
+    gw_pk, gx_pk = jax.grad(loss_packed, argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(gw_pk), np.asarray(gw_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_pk), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("deep", [False, True])
+def test_unet_zpack_matches_unet(deep):
+    spec = small_spec()
+    key = jax.random.PRNGKey(7)
+    params = init_unet_params(key, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 9), (2, 8, 12, 8, 1))
+    ref = unet_apply(params, x, spec, deep_supervision=deep)
+    out = unet_apply_zpack(params, x, spec, deep_supervision=deep)
+    if not deep:
+        ref, out = [ref], [out]
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_unet_zpack_head_fold_and_bf16():
+    spec = small_spec()
+    key = jax.random.PRNGKey(11)
+    params = init_unet_params(key, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (1, 8, 8, 8, 1))
+    idx = [0, 3, 4]
+    ref = unet_apply(params, x, spec, compute_dtype=jnp.bfloat16,
+                     head_channel_idx=idx)
+    out = unet_apply_zpack(params, x, spec, compute_dtype=jnp.bfloat16,
+                           head_channel_idx=idx)
+    assert out.dtype == ref.dtype
+    assert out.shape == ref.shape
+    # bf16 rounding differs between the banded-dense and z-tap
+    # accumulation orders; agreement is at bf16 resolution
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=0.15, atol=0.15)
+
+
+def test_unet_zpack_odd_depth_falls_back():
+    """D=6 at stage0 (G=2), deeper stages odd -> unpacked path; must agree."""
+    spec = small_spec(n_stages=2, feats=(8, 16))
+    key = jax.random.PRNGKey(13)
+    params = init_unet_params(key, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (1, 6, 6, 8, 1))
+    ref = unet_apply(params, x, spec)
+    out = unet_apply_zpack(params, x, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)

@@ -147,9 +147,24 @@ def main():
             h = _leaky(h, 0.01)
         return jnp.moveaxis(h, 2, -1)
 
+    def chain_zpack(x, ws):
+        """z-packed-channels carrier (models/unet_zpack.py): pack G z-slices
+        into lanes once, run the convs as dense G*C-channel 2D convs + tiny
+        crossing convs, IN/leaky in packed space, unpack once."""
+        from dg_tta_tpu.models.unet_zpack import (
+            _group_for, _instance_norm_packed, conv_packed, pack_z, unpack_z)
+        G = _group_for(x.shape[-1], x.shape[1])
+        h = pack_z(x, G)
+        for w, b, s, bb in zip(ws, bs, sc, bi):
+            h = conv_packed(h, w, b, G)
+            h = _instance_norm_packed(h, s, bb, eps, G)
+            h = _leaky(h, 0.01)
+        return unpack_z(h, G)
+
     chains = {
         "ztap": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),
                            lambda h, s, b: _instance_norm(h, s, b, eps)),
+        "zpack": chain_zpack,
         "3d": make_chain(conv3d_direct,
                          lambda h, s, b: _instance_norm(h, s, b, eps)),
         "dotin": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),

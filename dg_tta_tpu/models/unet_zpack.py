@@ -8,33 +8,40 @@ utilization AND makes every conv instance pick its own operand layout
 consecutive z-slices into channels (G*C = 128 lanes) turns those stages'
 convs into dense 128-channel 2D convolutions — the shape XLA:TPU's conv
 emitters are best at — at a modest structural-FLOP overhead (the packed
-dense weight is block-banded; the off-band blocks are structurally zero but
-are multiplied anyway).
+dense weight is block-banded; off-band blocks are structurally zero but
+multiplied anyway: x1.6 at G=4, x1.0 at G=2).
 
-Math (exact, not approximate): with g-major lane order (lane = g*C + c),
-a true 3x3x3 conv decomposes into
+Math (exact, not approximate): with g-major lane order (lane = g*C + c), a
+true 3x3x3 z-stride-sz conv decomposes into
   * one dense 2D conv over the packed carrier with weight
-    Wd[ky, kx, g_in*ci + :, g_out*co + :] = w[g_in - g_out + 1, ky, kx]
-    for |g_in - g_out| <= 1, zero otherwise (out z = G*dz + g_out reads
-    in z = G*dz + g_in  <=>  kz = g_in - g_out + 1), and
-  * two small "crossing" 2D convs for the group-boundary taps: out group
-    g_out=0 additionally reads group G-1 of packed slice dz-1 through
-    w[0], and g_out=G-1 reads group 0 of dz+1 through w[2].
+    Wd[ky, kx, g_in*ci + :, g_out*co + :] = w[g_in - sz*g_out + 1, ky, kx]
+    when that tap index is in range, zero otherwise (out z = Go*dz + g_out
+    reads in z = G*dz + g_in with G = sz*Go), and
+  * small "crossing" 2D convs for the group-boundary taps (out group 0
+    reads group G-1 of packed slice dz-1 through w[0]; for sz=1 out group
+    G-1 reads group 0 of dz+1 through w[2]).
 Gradients flow through the (static) weight assembly, so adapting the
 canonical (3,3,3,ci,co) parameters under jax.grad is exact.
 
-FLOP overhead vs the true conv: the dense tap multiplies G^2 blocks per
-(ky,kx) where only 3G-2 are non-zero -> x1.6 at G=4, x1.0 at G=2 — repaid
-many times over by full-width MXU passes (C=32 z-tap convs run at <=1/16
-MXU channel utilization).
+The whole flagship forward stays packed end-to-end with NO explicit
+pack/unpack copies on the main line:
+  * the stem packs its (B,D,H,W,1) INPUT (6 MB, not the 205 MB stage
+    tensor) and emits packed activations;
+  * strided downsamples consume group G and emit G/2 (z-stride folded into
+    the group structure), so the C>=128 stages fall out unpacked for free;
+  * kernel==stride transposed convs emit packed output directly — the
+    z-axis sub-voxel interleave (the largest single copies in the r3e HLO
+    attribution, unet.py:97-98) becomes pure lane structure;
+  * the decoder concat is never materialized: the stage's first conv runs
+    as a SUM of per-section dense convs over [up, skip] (conv_packed_multi);
+  * 1x1x1 segmentation heads run packed (block-diagonal dense weight) and
+    only the few-channel logits are unpacked.
 
 Reference parity: identical math to models/unet.unet_apply (itself pinned
 against the torch nnUNet PlainConvUNet in tests/test_unet.py /
 tests/test_parity_torch.py); tests/test_unet_zpack.py pins this module
-against unet_apply directly.
+against unet_apply directly (values and grads).
 """
-
-import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +66,8 @@ def _group_for(channels: int, depth: int, max_lanes: int = 128) -> int:
 
 def pack_z(x, G):
     """(B, D, H, W, C) -> (B, D//G, H, W, G*C), g-major lanes."""
+    if G == 1:
+        return x
     B, D, H, W, C = x.shape
     return (x.reshape(B, D // G, G, H, W, C)
              .transpose(0, 1, 3, 4, 2, 5)
@@ -67,6 +76,8 @@ def pack_z(x, G):
 
 def unpack_z(xp, G):
     """Inverse of pack_z."""
+    if G == 1:
+        return xp
     B, Dp, H, W, GC = xp.shape
     C = GC // G
     return (xp.reshape(B, Dp, H, W, G, C)
@@ -74,60 +85,123 @@ def unpack_z(xp, G):
               .reshape(B, Dp * G, H, W, C))
 
 
-def _dense_tap0(w, G):
-    """Assemble the packed dense 2D weight (kh, kw, G*ci, G*co) from the
-    canonical (3, kh, kw, ci, co) kernel.  Static concat of slices/zeros —
-    differentiable, and each w[kz] gradient accumulates over its (banded)
-    appearances exactly as the true conv's weight gradient does."""
+def _dense_tap0(w, G, sz=1):
+    """Assemble the packed dense 2D weight (kh, kw, G*ci, (G//sz)*co) from
+    the canonical (3, kh, kw, ci, co) kernel; sz is the conv's z-stride.
+    Block (g_in, g_out) = w[g_in - sz*g_out + 1] when in range, else zero.
+    Static concat of slices/zeros — differentiable; each w[kz] gradient
+    accumulates over its banded appearances exactly as the true conv's."""
     kd, kh, kw, ci, co = w.shape
-    assert kd == 3, kd
+    assert kd == 3 and G % sz == 0, (w.shape, G, sz)
     zero = jnp.zeros_like(w[0])
     cols = []
-    for g_out in range(G):
+    for g_out in range(G // sz):
         rows = []
         for g_in in range(G):
-            d = g_in - g_out + 1
+            d = g_in - sz * g_out + 1
             rows.append(w[d] if 0 <= d <= 2 else zero)
         cols.append(jnp.concatenate(rows, axis=2))   # (kh, kw, G*ci, co)
-    return jnp.concatenate(cols, axis=3)             # (kh, kw, G*ci, G*co)
+    return jnp.concatenate(cols, axis=3)
 
 
-def _conv2d(x4, w4, padding):
+def _conv2d(x4, w4, padding, stride=(1, 1)):
     dn = jax.lax.conv_dimension_numbers(
         x4.shape, w4.shape, ("NHWC", "HWIO", "NHWC"))
     return jax.lax.conv_general_dilated(
-        x4, w4, (1, 1), padding, dimension_numbers=dn,
+        x4, w4, stride, padding, dimension_numbers=dn,
         preferred_element_type=x4.dtype)
 
 
-def conv_packed(xp, w, b, G):
-    """3x3x3 conv (stride 1, torch k//2 zero padding) on a z-packed carrier.
+def conv_packed_multi(xps, w, b, G, section_ci, stride=(1, 1, 1)):
+    """3x3x3 conv (torch k//2 zero padding) on z-packed carriers, without
+    materializing the channel concat of its operands.
 
-    xp: (B, Dp, H, W, G*ci) g-major; w: (3, kh, kw, ci, co) canonical;
-    returns (B, Dp, H, W, G*co).
+    xps: list of packed tensors (B, Dp, H, W, G*ci_k), the canonical input
+    channels being the concatenation of the sections (sum ci_k = w.shape[3],
+    split per section_ci).  stride (sz, sy, sx) with sz in {1, 2} and
+    sz | G; the output is packed at Go = G // sz (z-stride-2 consumes group
+    structure, so the downsampled output needs no repack).
+    Returns (B, Dp, H_out, W_out, Go*co).
     """
-    B, Dp, H, W, GC = xp.shape
-    kd, kh, kw, ci, co = w.shape
-    assert kd == 3 and GC == G * ci, (w.shape, xp.shape, G)
+    kd, kh, kw, ci_tot, co = w.shape
+    sz, sy, sx = stride
+    assert kd == 3 and sz in (1, 2) and G % sz == 0
+    assert sum(section_ci) == ci_tot, (section_ci, ci_tot)
+    Go = G // sz
     py, px = kh // 2, kw // 2
     pad = [(py, py), (px, px)]
+    zlo = ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+    zhi = ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
 
-    main = _conv2d(xp.reshape(B * Dp, H, W, GC), _dense_tap0(w, G), pad)
-    out = main.reshape(B, Dp, H, W, G * co)
+    out = None
+    off = 0
+    for xp, ci in zip(xps, section_ci):
+        B, Dp, H, W, GC = xp.shape
+        assert GC == G * ci, (xp.shape, G, ci)
+        wk = w[:, :, :, off:off + ci, :]
+        off += ci
+        main = _conv2d(xp.reshape(B * Dp, H, W, GC), _dense_tap0(wk, G, sz),
+                       pad, (sy, sx))
+        r = main
 
-    # Group-boundary taps across packed slices (true-z zero padding at the
-    # volume boundary falls out of the packed-z zero pad).
-    zpad = ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
-    prev_last = jnp.pad(xp[:, :-1, :, :, (G - 1) * ci:], zpad)
-    lo = _conv2d(prev_last.reshape(B * Dp, H, W, ci), w[0], pad)
-    zpad2 = ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
-    nxt_first = jnp.pad(xp[:, 1:, :, :, :ci], zpad2)
-    hi = _conv2d(nxt_first.reshape(B * Dp, H, W, ci), w[2], pad)
+        # group-boundary taps across packed slices (true-z zero padding at
+        # the volume boundary falls out of the packed-z zero pad)
+        prev_last = jnp.pad(xp[:, :-1, :, :, (G - 1) * ci:], zlo)
+        lo = _conv2d(prev_last.reshape(B * Dp, H, W, ci), wk[0], pad,
+                     (sy, sx))
+        r = r + jnp.pad(lo, ((0, 0),) * 3 + ((0, (Go - 1) * co),))
+        if sz == 1:
+            nxt_first = jnp.pad(xp[:, 1:, :, :, :ci], zhi)
+            hi = _conv2d(nxt_first.reshape(B * Dp, H, W, ci), wk[2], pad,
+                         (sy, sx))
+            r = r + jnp.pad(hi, ((0, 0),) * 3 + (((Go - 1) * co, 0),))
+        out = r if out is None else out + r
 
-    cross = (jnp.pad(lo, ((0, 0),) * 3 + ((0, (G - 1) * co),))
-             + jnp.pad(hi, ((0, 0),) * 3 + (((G - 1) * co, 0),)))
-    out = out + cross.reshape(B, Dp, H, W, G * co)
-    return out + jnp.tile(b, G)
+    Ho, Wo = out.shape[1:3]
+    out = out.reshape(B, Dp, Ho, Wo, Go * co)
+    return out + jnp.tile(b, Go)
+
+
+def conv_packed(xp, w, b, G, stride=(1, 1, 1)):
+    """Single-operand form of conv_packed_multi."""
+    ci = w.shape[3]
+    return conv_packed_multi([xp], w, b, G, [ci], stride)
+
+
+def head_packed(xp, w, b, G):
+    """1x1x1 conv (segmentation head) on a packed carrier: block-diagonal
+    dense 1x1 2D conv, G*ci -> G*co lanes."""
+    kd, kh, kw, ci, co = w.shape
+    assert (kd, kh, kw) == (1, 1, 1), w.shape
+    B, Dp, H, W, GC = xp.shape
+    assert GC == G * ci
+    zero = jnp.zeros_like(w[0, 0, 0])
+    cols = []
+    for g_out in range(G):
+        rows = [w[0, 0, 0] if g_in == g_out else zero for g_in in range(G)]
+        cols.append(jnp.concatenate(rows, axis=0))
+    wd = jnp.concatenate(cols, axis=1)[None, None]     # (1,1,G*ci,G*co)
+    out = _conv2d(xp.reshape(B * Dp, H, W, GC), wd, [(0, 0), (0, 0)])
+    return out.reshape(B, Dp, H, W, G * co) + jnp.tile(b, G)
+
+
+def transpconv_packed(xb, w, b, G_b, stride):
+    """torch ConvTranspose3d(kernel==stride) emitting a packed carrier.
+
+    xb: (B, Dp, H, W, G_b*ci) packed below-activations; w: (S, ky, kx, o, i)
+    torch orientation (unet._conv_transpose docstring); output is packed at
+    G_out = S*G_b — the z-axis sub-voxel interleave becomes pure lane
+    structure (g_out = g_in*S + a), so no 5D interleave reshape exists in z.
+    """
+    S, ky, kx = w.shape[:3]
+    assert (S, ky, kx) == tuple(stride), (w.shape, stride)
+    B, Dp, H, W, GC = xb.shape
+    o, ci = w.shape[3], w.shape[4]
+    assert GC == G_b * ci
+    xg = xb.reshape(B, Dp, H, W, G_b, ci)
+    out = jnp.einsum("bdhwgi,ayxoi->bdhywxgao", xg, w)
+    out = out.reshape(B, Dp, H * ky, W * kx, G_b * S * o)
+    return (out + jnp.tile(b, G_b * S)).astype(xb.dtype)
 
 
 def _instance_norm_packed(xp, scale, bias, eps, G):
@@ -138,114 +212,127 @@ def _instance_norm_packed(xp, scale, bias, eps, G):
     C = GC // G
     xg = xp.reshape(B, Dp, H, W, G, C)
     if xp.dtype == jnp.float32:
-        mean = jnp.mean(xg, axis=(1, 2, 3, 4)).reshape(B, 1, 1, 1, C)
-        var = jnp.var(xg, axis=(1, 2, 3, 4)).reshape(B, 1, 1, 1, C)
-        meanp = jnp.tile(mean, (1, 1, 1, 1, G))
-        invp = jnp.tile(jax.lax.rsqrt(var + eps), (1, 1, 1, 1, G))
-        return (xp - meanp) * invp * jnp.tile(scale, G) + jnp.tile(bias, G)
+        mean = jnp.mean(xg, axis=(1, 2, 3, 4))
+        var = jnp.mean(jnp.square(xg), axis=(1, 2, 3, 4)) - jnp.square(mean)
+        var = jnp.maximum(var, 0.0)
+        inv = jax.lax.rsqrt(var + eps) * scale
+        meanp = jnp.tile(mean, (1, G)).reshape(B, 1, 1, 1, GC)
+        invp = jnp.tile(inv, (1, G)).reshape(B, 1, 1, 1, GC)
+        return (xp - meanp) * invp + jnp.tile(bias, G)
     mean32 = jnp.mean(xg, axis=(1, 2, 3, 4), dtype=jnp.float32)
     m2 = jnp.mean(jnp.square(xg), axis=(1, 2, 3, 4), dtype=jnp.float32)
     var = jnp.maximum(m2 - jnp.square(mean32), 0.0)
     inv = (jax.lax.rsqrt(var + eps)).astype(xp.dtype) * scale
     meanp = jnp.tile(mean32.astype(xp.dtype), (1, G)).reshape(B, 1, 1, 1, GC)
     invp = jnp.tile(inv, (1, G)).reshape(B, 1, 1, 1, GC)
-    biasp = jnp.tile(bias, G)
-    return (xp - meanp) * invp + biasp
+    return (xp - meanp) * invp + jnp.tile(bias, G)
 
 
-def _block_packed(xp, p, spec, G):
-    xp = conv_packed(xp, p["conv"]["w"], p["conv"]["b"], G)
-    xp = _instance_norm_packed(xp, p["norm"]["scale"], p["norm"]["bias"],
-                               spec.norm_eps, G)
-    return _leaky(xp, spec.leaky_slope)
-
-
-def _block_unpacked(x, p, stride, spec):
-    x = _conv(x, p["conv"]["w"], p["conv"]["b"], stride)
-    x = _instance_norm(x, p["norm"]["scale"], p["norm"]["bias"], spec.norm_eps)
-    return _leaky(x, spec.leaky_slope)
-
-
-def _packable(blk, D):
-    """Pack group for a stage led by this conv: sized from the OUTPUT
-    channels (the stage width; a decoder conv0's 2C input just makes the
-    contraction dim 2*G*C — fine for the MXU) and constrained to divide D."""
-    w = blk["conv"]["w"]
-    if w.shape[0] != 3:
-        return 1
-    return _group_for(int(w.shape[4]), D)
+def _in_leaky(hp, p, spec, G):
+    if G == 1:
+        hp = _instance_norm(hp, p["norm"]["scale"], p["norm"]["bias"],
+                            spec.norm_eps)
+    else:
+        hp = _instance_norm_packed(hp, p["norm"]["scale"], p["norm"]["bias"],
+                                   spec.norm_eps, G)
+    return _leaky(hp, spec.leaky_slope)
 
 
 def unet_apply_zpack(params, x, spec: ArchSpec, deep_supervision=False,
                      compute_dtype=None, head_channel_idx=None):
-    """unet.unet_apply with stride-1 stage convs routed through the z-packed
-    carrier.  Strided downsamples, transpconvs and heads stay on the z-tap
-    path; pack/unpack transposes happen once per stage instead of XLA
-    re-laying operands around every conv."""
+    """unet.unet_apply on the z-packed carrier (module docstring).  Any
+    stage whose shape/stride falls outside the packed fast path (odd depth,
+    z-kernel != 3, z-stride > 2) transparently falls back to the z-tap
+    implementation for that stage."""
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         params = jax.tree.map(lambda p: p.astype(compute_dtype), params)
 
-    def head(h, sl):
+    def head(hG, sl):
         # static channel fold; see unet.unet_apply.head (gather cliff)
+        h, G = hG
         w, b = sl["w"], sl["b"]
         if head_channel_idx is not None:
             idx = [int(i) for i in np.asarray(head_channel_idx).tolist()]
             w = jnp.concatenate([w[..., i:i + 1] for i in idx], axis=-1)
             b = jnp.concatenate([b[i:i + 1] for i in idx])
-        return _conv(h, w, b)
-
-    def run_stage(h, blocks, first_stride):
-        """First conv (possibly strided / channel-changing) unpacked, then
-        pack once and run the remaining convs packed.  Returns unpacked."""
-        h = _block_unpacked(h, blocks[0], first_stride, spec)
-        rest = blocks[1:]
-        if not rest:
-            return h
-        G = _packable(rest[0], h.shape[1])
         if G == 1:
-            for blk in rest:
-                h = _block_unpacked(h, blk, (1, 1, 1), spec)
-            return h
-        hp = pack_z(h, G)
-        for blk in rest:
-            hp = _block_packed(hp, blk, spec, G)
-        return unpack_z(hp, G)
+            return _conv(h, w, b)
+        return unpack_z(head_packed(h, w, b, G), G)
+
+    def block_conv(hG, blk, stride, sections=None):
+        """One conv through the packed machinery.  hG: (tensor, G) or, with
+        `sections`, a list of same-G packed tensors (the unmaterialized
+        concat).  Returns (tensor, G_out)."""
+        hs, G = hG
+        many = sections is not None
+        xs = hs if many else [hs]
+        w, b = blk["conv"]["w"], blk["conv"]["b"]
+        sz, sy, sx = stride
+        co = int(w.shape[4])
+        D_true = xs[0].shape[1] * G
+        packed_ok = (w.shape[0] == 3 and sz in (1, 2)
+                     and (sz == 1 or D_true % 2 == 0))
+        if packed_ok:
+            D_out = D_true // sz
+            G_out = _group_for(co, D_out)
+            G_pre = sz * G_out
+            if G_pre == 1 and G == 1:
+                packed_ok = False       # plain z-tap is the tuned G=1 path
+            else:
+                if G_pre != G:
+                    xs = [pack_z(unpack_z(h, G), G_pre) for h in xs]
+                secs = sections if many else [int(w.shape[3])]
+                h = conv_packed_multi(xs, w, b, G_pre, secs, (sz, sy, sx))
+                return h, G_out
+        # fallback: unpack, z-tap conv
+        xs = [unpack_z(h, G) for h in xs]
+        h = xs[0] if len(xs) == 1 else jnp.concatenate(xs, axis=-1)
+        return _conv(h, w, b, stride), 1
 
     skips = []
-    h = x
+    hG = (x, 1)
     for s in range(spec.n_stages):
         stage = params["encoder"]["stages"][s]
-        h = run_stage(h, stage["convs"], tuple(spec.strides[s]))
-        skips.append(h)
+        for ci_idx, blk in enumerate(stage["convs"]):
+            stride = tuple(spec.strides[s]) if ci_idx == 0 else (1, 1, 1)
+            h, G = block_conv(hG, blk, stride)
+            hG = (_in_leaky(h, blk, spec, G), G)
+        skips.append(hG)
 
     seg_outputs = []
-    lres = skips[-1]
+    lres, Gl = skips[-1]
     n_dec = spec.n_stages - 1
     for d in range(n_dec):
         tc = params["decoder"]["transpconvs"][d]
-        skip = skips[-(d + 2)]
+        skip, Gs = skips[-(d + 2)]
         up_stride = tuple(spec.strides[spec.n_stages - 1 - d])
-        h = _conv_transpose(lres, tc["w"], tc["b"], up_stride)
-        h = jnp.concatenate([h, skip], axis=-1)
+        w_tc = tc["w"]
+        if (tuple(w_tc.shape[:3]) == up_stride
+                and up_stride[0] * Gl == Gs and Gs > 1):
+            up = transpconv_packed(lres, w_tc, tc["b"], Gl, up_stride)
+            g_up = Gs
+        else:
+            up = _conv_transpose(unpack_z(lres, Gl), w_tc, tc["b"], up_stride)
+            g_up = 1
+            if Gs > 1 and g_up != Gs:
+                up = pack_z(up, Gs)
+                g_up = Gs
         stage = params["decoder"]["stages"][d]
         blocks = stage["convs"]
-        # decoder stage: conv0 halves channels (2C->C) — still a 3x3x3
-        # stride-1 conv, packable; pack the concat once for the whole stage
-        G = _packable(blocks[0], h.shape[1])
-        if G == 1:
-            for blk in blocks:
-                h = _block_unpacked(h, blk, (1, 1, 1), spec)
-        else:
-            hp = pack_z(h, G)
-            for blk in blocks:
-                hp = _block_packed(hp, blk, spec, G)
-            h = unpack_z(hp, G)
-        lres = h
+        c_up = int(w_tc.shape[3])
+        c_skip = skip.shape[-1] // Gs
+        h, G = block_conv(([up, skip], Gs), blocks[0], (1, 1, 1),
+                          sections=[c_up, c_skip])
+        hG = (_in_leaky(h, blocks[0], spec, G), G)
+        for blk in blocks[1:]:
+            h, G = block_conv(hG, blk, (1, 1, 1))
+            hG = (_in_leaky(h, blk, spec, G), G)
+        lres, Gl = hG
         if deep_supervision:
             sl = params["decoder"]["seg_layers"][d]
-            seg_outputs.append(head(h, sl))
+            seg_outputs.append(head(hG, sl))
     if deep_supervision:
         return seg_outputs[::-1]
     sl = params["decoder"]["seg_layers"][n_dec - 1]
-    return head(lres, sl)
+    return head((lres, Gl), sl)

@@ -77,6 +77,73 @@ def test_conv_packed_grads_match():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("G,ci,co", [(4, 8, 16), (2, 8, 8)])
+def test_conv_packed_strided_matches_conv(G, ci, co):
+    """z-stride-2 packed conv (consumes group G, emits G//2) vs _conv."""
+    from dg_tta_tpu.models.unet_zpack import conv_packed_multi
+    key = jax.random.PRNGKey(21)
+    B, D, H, W = 2, 8, 6, 10
+    x = jax.random.normal(key, (B, D, H, W, ci))
+    w = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, ci, co))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (co,))
+    ref = _conv(x, w, b, (2, 2, 2))
+    out = conv_packed_multi([pack_z(x, G)], w, b, G, [ci], (2, 2, 2))
+    out = unpack_z(out, G // 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conv_packed_multi_matches_concat():
+    """Two-section packed conv == conv of the materialized concat."""
+    from dg_tta_tpu.models.unet_zpack import conv_packed_multi
+    key = jax.random.PRNGKey(23)
+    B, D, H, W, G = 1, 8, 5, 6, 4
+    c1, c2, co = 4, 6, 8
+    a = jax.random.normal(key, (B, D, H, W, c1))
+    s = jax.random.normal(jax.random.fold_in(key, 1), (B, D, H, W, c2))
+    w = 0.3 * jax.random.normal(jax.random.fold_in(key, 2),
+                                (3, 3, 3, c1 + c2, co))
+    b = jnp.zeros((co,))
+    ref = _conv(jnp.concatenate([a, s], axis=-1), w, b)
+    out = conv_packed_multi([pack_z(a, G), pack_z(s, G)], w, b, G, [c1, c2])
+    np.testing.assert_allclose(np.asarray(unpack_z(out, G)), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_transpconv_packed_matches():
+    from dg_tta_tpu.models.unet import _conv_transpose
+    from dg_tta_tpu.models.unet_zpack import transpconv_packed
+    key = jax.random.PRNGKey(29)
+    B, D, H, W, ci, o, Gb = 2, 6, 4, 5, 8, 4, 2
+    x = jax.random.normal(key, (B, D, H, W, ci))
+    w = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (2, 2, 2, o, ci))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (o,))
+    ref = _conv_transpose(x, w, b, (2, 2, 2))
+    out = transpconv_packed(pack_z(x, Gb), w, b, Gb, (2, 2, 2))
+    np.testing.assert_allclose(np.asarray(unpack_z(out, 2 * Gb)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_unet_zpack_full_grads_match():
+    """End-to-end parameter gradients through the packed network (the TTA
+    engine's actual use) against the z-tap network."""
+    spec = small_spec()
+    key = jax.random.PRNGKey(31)
+    params = init_unet_params(key, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (1, 8, 8, 8, 1))
+
+    def loss(apply_fn):
+        def f(p):
+            return jnp.mean(apply_fn(p, x, spec).astype(jnp.float32) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(unet_apply))(params)
+    g_pk = jax.grad(loss(unet_apply_zpack))(params)
+    for pr, pp in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pk)):
+        np.testing.assert_allclose(np.asarray(pp), np.asarray(pr),
+                                   rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("deep", [False, True])
 def test_unet_zpack_matches_unet(deep):
     spec = small_spec()

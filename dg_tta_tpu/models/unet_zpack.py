@@ -191,39 +191,64 @@ def transpconv_packed(xb, w, b, G_b, stride):
     xb: (B, Dp, H, W, G_b*ci) packed below-activations; w: (S, ky, kx, o, i)
     torch orientation (unet._conv_transpose docstring); output is packed at
     G_out = S*G_b — the z-axis sub-voxel interleave becomes pure lane
-    structure (g_out = g_in*S + a), so no 5D interleave reshape exists in z.
+    structure (g_out = g_in*S + a), so no z interleave reshape exists.
+
+    Formulated as a dense 1x1 2D conv (G_b*ci -> ky*kx*G_out*o lanes) with a
+    block-diagonal weight, followed by the (H, W) sub-voxel interleave: the
+    contraction covers all input lanes in one standard conv (no lane-split
+    of the big operand, unlike an einsum over a (..., G_b, ci) view).
     """
     S, ky, kx = w.shape[:3]
     assert (S, ky, kx) == tuple(stride), (w.shape, stride)
     B, Dp, H, W, GC = xb.shape
     o, ci = w.shape[3], w.shape[4]
     assert GC == G_b * ci
-    xg = xb.reshape(B, Dp, H, W, G_b, ci)
-    out = jnp.einsum("bdhwgi,ayxoi->bdhywxgao", xg, w)
-    out = out.reshape(B, Dp, H * ky, W * kx, G_b * S * o)
-    return (out + jnp.tile(b, G_b * S)).astype(xb.dtype)
+    G_out = G_b * S
+
+    zero = jnp.zeros((ci, o), w.dtype)
+    blocks = []
+    for g2 in range(G_b):
+        cols = []
+        for y in range(ky):
+            for x in range(kx):
+                for go in range(G_out):
+                    g2p, a = divmod(go, S)
+                    cols.append(jnp.transpose(w[a, y, x]) if g2p == g2
+                                else zero)
+        blocks.append(jnp.concatenate(cols, axis=1))
+    wt = jnp.concatenate(blocks, axis=0)[None, None]   # (1,1,GC,ky*kx*Go*o)
+
+    out = _conv2d(xb.reshape(B * Dp, H, W, GC), wt, [(0, 0), (0, 0)])
+    out = (out.reshape(B, Dp, H, W, ky, kx, G_out * o)
+              .transpose(0, 1, 2, 4, 3, 5, 6)
+              .reshape(B, Dp, H * ky, W * kx, G_out * o))
+    return (out + jnp.tile(b, G_out)).astype(xb.dtype)
 
 
 def _instance_norm_packed(xp, scale, bias, eps, G):
-    """InstanceNorm per (sample, true channel) on a packed carrier: the
-    statistics reduce over (Dp, H, W) AND the lane-group axis; scale/bias
-    broadcast over groups (g-major => jnp.tile)."""
+    """InstanceNorm per (sample, true channel) on a packed carrier.
+
+    The big tensor is only touched by full-spatial reduces and elementwise
+    ops: per-LANE sums over (Dp, H, W) first (keeping the G*C lane dim
+    intact — no (G, C) lane restructure of the big operand), then the
+    G-way group combine happens on the tiny (B, G*C) sums.  f32
+    accumulation in every dtype, elementwise math in the carrier dtype
+    (unet._instance_norm's convention)."""
     B, Dp, H, W, GC = xp.shape
     C = GC // G
-    xg = xp.reshape(B, Dp, H, W, G, C)
-    if xp.dtype == jnp.float32:
-        mean = jnp.mean(xg, axis=(1, 2, 3, 4))
-        var = jnp.mean(jnp.square(xg), axis=(1, 2, 3, 4)) - jnp.square(mean)
-        var = jnp.maximum(var, 0.0)
-        inv = jax.lax.rsqrt(var + eps) * scale
-        meanp = jnp.tile(mean, (1, G)).reshape(B, 1, 1, 1, GC)
-        invp = jnp.tile(inv, (1, G)).reshape(B, 1, 1, 1, GC)
-        return (xp - meanp) * invp + jnp.tile(bias, G)
-    mean32 = jnp.mean(xg, axis=(1, 2, 3, 4), dtype=jnp.float32)
-    m2 = jnp.mean(jnp.square(xg), axis=(1, 2, 3, 4), dtype=jnp.float32)
+    n = float(Dp * H * W * G)
+    s1 = jnp.sum(xp, axis=(1, 2, 3), dtype=jnp.float32)          # (B, GC)
+    s2 = jnp.sum(jnp.square(xp), axis=(1, 2, 3), dtype=jnp.float32)
+    mean32 = s1.reshape(B, G, C).sum(axis=1) / n                 # (B, C)
+    m2 = s2.reshape(B, G, C).sum(axis=1) / n
     var = jnp.maximum(m2 - jnp.square(mean32), 0.0)
-    inv = (jax.lax.rsqrt(var + eps)).astype(xp.dtype) * scale
-    meanp = jnp.tile(mean32.astype(xp.dtype), (1, G)).reshape(B, 1, 1, 1, GC)
+    if xp.dtype == jnp.float32:
+        inv = jax.lax.rsqrt(var + eps) * scale
+        meanp = jnp.tile(mean32, (1, G)).reshape(B, 1, 1, 1, GC)
+    else:
+        inv = (jax.lax.rsqrt(var + eps)).astype(xp.dtype) * scale
+        meanp = jnp.tile(mean32.astype(xp.dtype), (1, G)).reshape(
+            B, 1, 1, 1, GC)
     invp = jnp.tile(inv, (1, G)).reshape(B, 1, 1, 1, GC)
     return (xp - meanp) * invp + jnp.tile(bias, G)
 

@@ -188,3 +188,20 @@ def test_unet_zpack_odd_depth_falls_back():
     out = unet_apply_zpack(params, x, spec)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_tta_engine_losses_match_with_zpack(monkeypatch):
+    """A real TTA adaptation (tta_one_volume) with the z-packed carrier
+    produces near-identical per-epoch losses to the z-tap path — guards the
+    env routing, head folding, and both-branch wiring end to end."""
+    from dg_tta_tpu.tta.plan import TTAPlan
+    from tests.test_tta_engine import IDX3, _run
+
+    plan = TTAPlan.from_dict({"epochs": 3, "ensemble_count": 1,
+                              "batch_size": 2, "accumulate_grads": 1})
+    monkeypatch.delenv("DGTTA_UNET_ZPACK", raising=False)
+    _, (_, losses_ref, _) = _run(plan)
+    monkeypatch.setenv("DGTTA_UNET_ZPACK", "1")
+    _, (_, losses_pk, _) = _run(plan)
+    np.testing.assert_allclose(np.asarray(losses_pk), np.asarray(losses_ref),
+                               rtol=2e-4, atol=2e-4)

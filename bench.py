@@ -174,6 +174,8 @@ def main():
     dt = time.perf_counter() - t0
 
     extra = {"final_loss": round(float(np.mean(losses[-1])), 6)}
+    from dg_tta_tpu.models.network import _use_zpack_unet
+    extra["unet"] = "zpack" if _use_zpack_unet() else "ztap"
 
     # member-consistency pseudo-dice + inference throughput on the phantom.
     # Never let this section lose the headline number: any failure here

@@ -112,6 +112,34 @@ def _conv2d(x4, w4, padding, stride=(1, 1)):
         preferred_element_type=x4.dtype)
 
 
+def _cross_mode() -> str:
+    """How the group-boundary z-taps are realized: "convs" (default; two
+    small C=ci 2D convs on shifted single-group slabs) or "halo" (extend
+    the carrier with one group of z-halo per side and run ONE dense conv
+    over (G+2)*ci lanes — more structural FLOPs, one conv instead of
+    three).  DGTTA_ZPACK_CROSS selects; both are exact."""
+    import os
+    return os.environ.get("DGTTA_ZPACK_CROSS", "convs")
+
+
+def _dense_tap0_halo(w, G, sz=1):
+    """Dense weight for the halo form: input lane blocks are
+    [prev-group(G-1), g_0..g_{G-1}, next-group(0)] i.e. halo index
+    h = g_in + 1 with g_in in {-1, .., G}; block (h, g_out) = w[kz],
+    kz = g_in - sz*g_out + 1 when in range."""
+    kd, kh, kw, ci, co = w.shape
+    assert kd == 3 and G % sz == 0
+    zero = jnp.zeros_like(w[0])
+    cols = []
+    for g_out in range(G // sz):
+        rows = []
+        for g_in in range(-1, G + 1):
+            d = g_in - sz * g_out + 1
+            rows.append(w[d] if 0 <= d <= 2 else zero)
+        cols.append(jnp.concatenate(rows, axis=2))
+    return jnp.concatenate(cols, axis=3)   # (kh, kw, (G+2)*ci, Go*co)
+
+
 def conv_packed_multi(xps, w, b, G, section_ci, stride=(1, 1, 1)):
     """3x3x3 conv (torch k//2 zero padding) on z-packed carriers, without
     materializing the channel concat of its operands.
@@ -123,6 +151,45 @@ def conv_packed_multi(xps, w, b, G, section_ci, stride=(1, 1, 1)):
     structure, so the downsampled output needs no repack).
     Returns (B, Dp, H_out, W_out, Go*co).
     """
+    if _cross_mode() == "halo":
+        return _conv_packed_multi_halo(xps, w, b, G, section_ci, stride)
+    return _conv_packed_multi_convs(xps, w, b, G, section_ci, stride)
+
+
+def _conv_packed_multi_halo(xps, w, b, G, section_ci, stride=(1, 1, 1)):
+    """Halo form of conv_packed_multi: per section, concat one group of
+    z-halo on each side of the packed lanes and run a single dense conv."""
+    kd, kh, kw, ci_tot, co = w.shape
+    sz, sy, sx = stride
+    assert kd == 3 and sz in (1, 2) and G % sz == 0
+    assert sum(section_ci) == ci_tot, (section_ci, ci_tot)
+    Go = G // sz
+    py, px = kh // 2, kw // 2
+    pad = [(py, py), (px, px)]
+    zlo = ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+    zhi = ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+
+    out = None
+    off = 0
+    for xp, ci in zip(xps, section_ci):
+        B, Dp, H, W, GC = xp.shape
+        assert GC == G * ci, (xp.shape, G, ci)
+        wk = w[:, :, :, off:off + ci, :]
+        off += ci
+        prev_last = jnp.pad(xp[:, :-1, :, :, (G - 1) * ci:], zlo)
+        nxt_first = jnp.pad(xp[:, 1:, :, :, :ci], zhi)
+        xe = jnp.concatenate([prev_last, xp, nxt_first], axis=-1)
+        r = _conv2d(xe.reshape(B * Dp, H, W, (G + 2) * ci),
+                    _dense_tap0_halo(wk, G, sz), pad, (sy, sx))
+        out = r if out is None else out + r
+
+    Ho, Wo = out.shape[1:3]
+    out = out.reshape(B, Dp, Ho, Wo, Go * co)
+    return out + jnp.tile(b, Go)
+
+
+def _conv_packed_multi_convs(xps, w, b, G, section_ci, stride=(1, 1, 1)):
+    """Crossing-convs form of conv_packed_multi (module docstring)."""
     kd, kh, kw, ci_tot, co = w.shape
     sz, sy, sx = stride
     assert kd == 3 and sz in (1, 2) and G % sz == 0

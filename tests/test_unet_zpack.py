@@ -205,3 +205,21 @@ def test_tta_engine_losses_match_with_zpack(monkeypatch):
     _, (_, losses_pk, _) = _run(plan)
     np.testing.assert_allclose(np.asarray(losses_pk), np.asarray(losses_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("stride", [(1, 1, 1), (2, 2, 2)])
+def test_conv_packed_halo_mode_matches(monkeypatch, stride):
+    """DGTTA_ZPACK_CROSS=halo (single dense conv over a z-halo-extended
+    carrier) == the crossing-convs form == the z-tap conv."""
+    from dg_tta_tpu.models.unet_zpack import conv_packed_multi
+    monkeypatch.setenv("DGTTA_ZPACK_CROSS", "halo")
+    key = jax.random.PRNGKey(37)
+    B, D, H, W, ci, co, G = 2, 8, 6, 10, 8, 8, 4
+    x = jax.random.normal(key, (B, D, H, W, ci))
+    w = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (3, 3, 3, ci, co))
+    b = jax.random.normal(jax.random.fold_in(key, 2), (co,))
+    ref = _conv(x, w, b, stride)
+    out = conv_packed_multi([pack_z(x, G)], w, b, G, [ci], stride)
+    out = unpack_z(out, G // stride[0])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

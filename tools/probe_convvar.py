@@ -147,6 +147,15 @@ def main():
             h = _leaky(h, 0.01)
         return jnp.moveaxis(h, 2, -1)
 
+    def chain_zpackh(x, ws):
+        """zpack chain with DGTTA_ZPACK_CROSS=halo (single dense conv over
+        a z-halo-extended carrier instead of main + 2 crossing convs)."""
+        os.environ["DGTTA_ZPACK_CROSS"] = "halo"
+        try:
+            return chain_zpack(x, ws)
+        finally:
+            os.environ.pop("DGTTA_ZPACK_CROSS", None)
+
     def chain_zpack(x, ws):
         """z-packed-channels carrier (models/unet_zpack.py): pack G z-slices
         into lanes once, run the convs as dense G*C-channel 2D convs + tiny
@@ -165,6 +174,7 @@ def main():
         "ztap": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),
                            lambda h, s, b: _instance_norm(h, s, b, eps)),
         "zpack": chain_zpack,
+        "zpackh": chain_zpackh,
         "3d": make_chain(conv3d_direct,
                          lambda h, s, b: _instance_norm(h, s, b, eps)),
         "dotin": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),

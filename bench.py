@@ -38,18 +38,24 @@ def flagship():
     from dg_tta_tpu.models.plans import ArchSpec
 
     if os.environ.get("BENCH_SMALL"):
+        # BENCH_SMALL honors BENCH_TRAINER too, so the exact bench code path
+        # for a flagship variant (e.g. GIN_MIND's 12-channel MIND input) can
+        # be smoke-tested on CPU before burning a 6-12 min on-chip compile.
+        trainer = os.environ.get("BENCH_TRAINER", "nnUNetTrainer_GIN")
+        mind = "MIND" in trainer
         spec = ArchSpec(
             features_per_stage=(8, 16),
             kernel_sizes=((3, 3, 3), (3, 3, 3)),
             strides=((1, 1, 1), (2, 2, 2)),
             n_conv_per_stage_encoder=(1, 1),
             n_conv_per_stage_decoder=(1,),
-            num_input_channels=1,
+            num_input_channels=12 if mind else 1,
             num_classes=4,
         )
         return Model(spec=spec, patch_size=(16, 16, 16),
-                     trainer_name="nnUNetTrainer_GIN",
-                     uses_gin_internal=True, uses_mind=False), (48, 48, 48)
+                     trainer_name=trainer,
+                     uses_gin_internal="GIN" in trainer,
+                     uses_mind=mind), (48, 48, 48)
     # BENCH_TRAINER selects the flagship variant; GIN_MIND is the config the
     # paper's headline results use (r2 verdict item 7)
     trainer = os.environ.get("BENCH_TRAINER", "nnUNetTrainer_GIN")

@@ -56,8 +56,17 @@ from dg_tta_tpu.models.unet import (
 )
 
 
-def _group_for(channels: int, depth: int, max_lanes: int = 128) -> int:
-    """Largest power-of-two G with G*channels <= max_lanes and G | depth."""
+def _group_for(channels: int, depth: int, max_lanes: int = None) -> int:
+    """Largest power-of-two G with G*channels <= max_lanes and G | depth.
+
+    max_lanes defaults to DGTTA_ZPACK_MAXLANES (env, default 128).  Capping
+    at 64 forces G=2 for the C=32 stages: half the MXU lane width, but the
+    banded packed weight is then fully dense (structural-FLOP overhead
+    G^2/(3G-2): x1.0 at G=2 vs x1.6 at G=4) — which side wins is an
+    on-chip question (tools/probe_convvar.py zpack64 variant)."""
+    if max_lanes is None:
+        import os
+        max_lanes = int(os.environ.get("DGTTA_ZPACK_MAXLANES", "128"))
     g = 1
     while (2 * g * channels <= max_lanes) and (depth % (2 * g) == 0):
         g *= 2

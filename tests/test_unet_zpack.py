@@ -178,6 +178,19 @@ def test_unet_zpack_head_fold_and_bf16():
                                rtol=0.15, atol=0.15)
 
 
+def test_unet_zpack_mind_input_channels():
+    """MIND trainers feed 12-channel inputs (ops/mind.py -> the U-Net stem);
+    the packed stem must agree for cin > 1 too (BENCH_TRAINER=...GIN_MIND)."""
+    spec = small_spec(cin=12)
+    key = jax.random.PRNGKey(17)
+    params = init_unet_params(key, spec)
+    x = jax.random.normal(jax.random.fold_in(key, 2), (1, 8, 8, 8, 12))
+    ref = unet_apply(params, x, spec)
+    out = unet_apply_zpack(params, x, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_unet_zpack_odd_depth_falls_back():
     """D=6 at stage0 (G=2), deeper stages odd -> unpacked path; must agree."""
     spec = small_spec(n_stages=2, feats=(8, 16))

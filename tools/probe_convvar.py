@@ -156,13 +156,13 @@ def main():
         finally:
             os.environ.pop("DGTTA_ZPACK_CROSS", None)
 
-    def chain_zpack(x, ws):
+    def chain_zpack(x, ws, max_lanes=128):
         """z-packed-channels carrier (models/unet_zpack.py): pack G z-slices
         into lanes once, run the convs as dense G*C-channel 2D convs + tiny
         crossing convs, IN/leaky in packed space, unpack once."""
         from dg_tta_tpu.models.unet_zpack import (
             _group_for, _instance_norm_packed, conv_packed, pack_z, unpack_z)
-        G = _group_for(x.shape[-1], x.shape[1])
+        G = _group_for(x.shape[-1], x.shape[1], max_lanes)
         h = pack_z(x, G)
         for w, b, s, bb in zip(ws, bs, sc, bi):
             h = conv_packed(h, w, b, G)
@@ -174,6 +174,9 @@ def main():
         "ztap": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),
                            lambda h, s, b: _instance_norm(h, s, b, eps)),
         "zpack": chain_zpack,
+        # G=2 cap: fully-dense band (x1.0 structural FLOPs) at 64 lanes vs
+        # zpack's G=4 (x1.6 FLOPs, 128 lanes) — see unet_zpack._group_for
+        "zpack64": lambda x, ws: chain_zpack(x, ws, max_lanes=64),
         "zpackh": chain_zpackh,
         "3d": make_chain(conv3d_direct,
                          lambda h, s, b: _instance_norm(h, s, b, eps)),

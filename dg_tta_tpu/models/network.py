@@ -41,6 +41,24 @@ def _use_folded_unet(spec) -> bool:
     return os.environ.get("DGTTA_UNET_FOLD", "0") == "1" and foldable(spec)
 
 
+def formulation_key(spec) -> tuple:
+    """Everything env-routed that changes the TRACED model program
+    (apply reads these at trace time).  Any cache of traced/jitted model
+    programs (engine._TTA_FNS_CACHE, engine split_cache) must include this
+    key, or an env flip mid-process silently reuses stale programs.
+    Includes the warp-routing envs too (read at closure-build time in
+    engine.make_tta_functions / ops.warp_pallas.warp_flat_auto)."""
+    import os
+    env = os.environ.get
+    return (_use_folded_unet(spec), _use_zpack_unet(),
+            env("DGTTA_ZPACK_CROSS", "convs"),
+            env("DGTTA_ZPACK_MAXLANES", "128"),
+            env("DGTTA_AFFINE_SHEAR", "auto"),
+            env("DGTTA_WARP_IMPL", "auto"),
+            env("DGTTA_PALLAS_WARP", "1"),
+            env("DGTTA_PALLAS_STAGE_LIMIT", "4"))
+
+
 def _use_zpack_unet() -> bool:
     """Route stride-1 stage convs through the z-packed-channels carrier
     (models/unet_zpack.py): G z-slices folded into lanes so the C=32/64

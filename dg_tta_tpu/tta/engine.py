@@ -512,13 +512,18 @@ def tta_one_volume(
     # make_tta_functions per call would RETRACE (and re-look-up/compile)
     # every epoch program for every volume — several seconds each on the
     # full-size model even with a warm persistent compile cache
+    from dg_tta_tpu.models.network import formulation_key
     fns_key = (model, plan,
                tuple(int(i) for i in np.asarray(map_idxs_pretrain)),
                tuple(int(i) for i in np.asarray(map_idxs_tta)),
                modify_input_fn, fused_output_fn if (
                    modify_after_mapping_fn is None) else
                (modify_output_fn, modify_after_mapping_fn),
-               remat, exact_warp_grad, patch_group)
+               remat, exact_warp_grad, patch_group,
+               # env-routed trace-time formulation (zpack/fold/warp impl):
+               # without this an env flip mid-process would silently reuse
+               # programs traced under the old routing
+               formulation_key(model.spec))
     try:
         cached = _TTA_FNS_CACHE.get(fns_key)
     except TypeError:  # unhashable modifier callables: skip caching

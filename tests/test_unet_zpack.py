@@ -220,6 +220,24 @@ def test_tta_engine_losses_match_with_zpack(monkeypatch):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_tta_engine_zpack_sharded_ensemble(monkeypatch):
+    """z-packed carrier under the SHARDED ensemble branch (ensemble_count=2
+    auto-chunks to 2 on the virtual 8-device mesh -> engine shard_map):
+    derisks enabling zpack where multi-chip sharding is active."""
+    from dg_tta_tpu.tta.plan import TTAPlan
+    from tests.test_tta_engine import _run
+
+    plan = TTAPlan.from_dict({"epochs": 2, "ensemble_count": 2,
+                              "batch_size": 2, "accumulate_grads": 1})
+    monkeypatch.delenv("DGTTA_UNET_ZPACK", raising=False)
+    _, (_, losses_ref, _) = _run(plan)
+    monkeypatch.setenv("DGTTA_UNET_ZPACK", "1")
+    _, (_, losses_pk, _) = _run(plan)
+    assert losses_pk.shape == (2, 2)
+    np.testing.assert_allclose(np.asarray(losses_pk), np.asarray(losses_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("stride", [(1, 1, 1), (2, 2, 2)])
 def test_conv_packed_halo_mode_matches(monkeypatch, stride):
     """DGTTA_ZPACK_CROSS=halo (single dense conv over a z-halo-extended

@@ -147,12 +147,12 @@ def main():
             h = _leaky(h, 0.01)
         return jnp.moveaxis(h, 2, -1)
 
-    def chain_zpackh(x, ws):
+    def chain_zpackh(x, ws, max_lanes=128):
         """zpack chain with DGTTA_ZPACK_CROSS=halo (single dense conv over
         a z-halo-extended carrier instead of main + 2 crossing convs)."""
         os.environ["DGTTA_ZPACK_CROSS"] = "halo"
         try:
-            return chain_zpack(x, ws)
+            return chain_zpack(x, ws, max_lanes=max_lanes)
         finally:
             os.environ.pop("DGTTA_ZPACK_CROSS", None)
 
@@ -178,6 +178,7 @@ def main():
         # zpack's G=4 (x1.6 FLOPs, 128 lanes) — see unet_zpack._group_for
         "zpack64": lambda x, ws: chain_zpack(x, ws, max_lanes=64),
         "zpackh": chain_zpackh,
+        "zpack64h": lambda x, ws: chain_zpackh(x, ws, max_lanes=64),
         "3d": make_chain(conv3d_direct,
                          lambda h, s, b: _instance_norm(h, s, b, eps)),
         "dotin": make_chain(lambda h, w, b: _conv(h, w, b, (1, 1, 1)),

@@ -36,11 +36,15 @@ def test_pack_roundtrip():
 
 
 def test_group_for():
-    assert _group_for(32, 112) == 4
-    assert _group_for(64, 56) == 2
+    # default max_lanes is 64 (G=2 measured faster than G=4 on the v5e,
+    # PERF.md round 3k); explicit max_lanes=128 recovers the wide packing
+    assert _group_for(32, 112) == 2
+    assert _group_for(32, 112, max_lanes=128) == 4
+    assert _group_for(64, 56, max_lanes=128) == 2
+    assert _group_for(64, 56) == 1
     assert _group_for(128, 28) == 1
-    assert _group_for(32, 6) == 2      # divisibility cap
-    assert _group_for(32, 7) == 1
+    assert _group_for(32, 6, max_lanes=128) == 2   # divisibility cap
+    assert _group_for(32, 7, max_lanes=128) == 1
 
 
 @pytest.mark.parametrize("G,ci,co", [(4, 8, 8), (2, 8, 16), (4, 16, 8)])

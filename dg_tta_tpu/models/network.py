@@ -52,8 +52,8 @@ def formulation_key(spec) -> tuple:
     env = os.environ.get
     return (_use_folded_unet(spec), _use_zpack_unet(),
             env("DGTTA_ZPACK_CROSS", "convs"),
-            env("DGTTA_ZPACK_MAXLANES", "64"),
-            env("DGTTA_ZPACK_MAXG", "0"),
+            env("DGTTA_ZPACK_MAXLANES", "128"),
+            env("DGTTA_ZPACK_MAXG", "2"),
             env("DGTTA_AFFINE_SHEAR", "auto"),
             env("DGTTA_WARP_IMPL", "auto"),
             env("DGTTA_PALLAS_WARP", "1"),

@@ -59,21 +59,19 @@ from dg_tta_tpu.models.unet import (
 def _group_for(channels: int, depth: int, max_lanes: int = None) -> int:
     """Largest power-of-two G with G*channels <= max_lanes and G | depth.
 
-    max_lanes defaults to DGTTA_ZPACK_MAXLANES (env, default 64 = G=2 for
-    the C=32 stages: half the MXU lane width, but the banded packed weight
-    is then fully dense — structural-FLOP overhead G^2/(3G-2) is x1.0 at
-    G=2 vs x1.6 at G=4).  Measured on the v5e (PERF.md round 3k): G=2 beats
-    both the z-tap baseline (-13% on the hot chain, -21% on the full member
-    program) and G=4 (whose FLOP overhead cancels its width win).
-
-    DGTTA_ZPACK_MAXG (default 0 = no cap) additionally caps G itself,
-    decoupled from the lane width: MAXG=2 with MAXLANES=128 packs the C=64
-    stage too (G=2, full 128 lanes, still x1.0 FLOPs) while keeping the
-    C=32 stage at the measured-best G=2."""
+    max_lanes defaults to DGTTA_ZPACK_MAXLANES (env, default 128) and
+    DGTTA_ZPACK_MAXG (default 2) caps G itself, decoupled from lane width.
+    The defaults implement the measured-best v5e config (PERF.md round 3k
+    member_run sweep): G=2 everywhere it divides — the banded packed weight
+    is fully dense at G=2 (structural-FLOP overhead G^2/(3G-2) = x1.0 vs
+    x1.6 at G=4), so the C=32 stage runs 64-lane and the C=64 stage
+    128-lane dense 2D convs.  27.53 s/member vs 38.3 (z-tap), 30.1
+    (MAXLANES=64: C=64 stage unpacked), 28.2 (MAXLANES=256: C=128 stage
+    packed too), 134%-of-ztap at G=4 on the hot chain."""
     import os
     if max_lanes is None:
-        max_lanes = int(os.environ.get("DGTTA_ZPACK_MAXLANES", "64"))
-    max_g = int(os.environ.get("DGTTA_ZPACK_MAXG", "0"))
+        max_lanes = int(os.environ.get("DGTTA_ZPACK_MAXLANES", "128"))
+    max_g = int(os.environ.get("DGTTA_ZPACK_MAXG", "2"))
     g = 1
     while (2 * g * channels <= max_lanes) and (depth % (2 * g) == 0) \
             and (max_g <= 0 or 2 * g <= max_g):

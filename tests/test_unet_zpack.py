@@ -35,16 +35,19 @@ def test_pack_roundtrip():
         np.testing.assert_array_equal(unpack_z(pack_z(x, G), G), x)
 
 
-def test_group_for():
-    # default max_lanes is 64 (G=2 measured faster than G=4 on the v5e,
-    # PERF.md round 3k); explicit max_lanes=128 recovers the wide packing
+def test_group_for(monkeypatch):
+    # defaults MAXLANES=128 + MAXG=2: the measured-best v5e config
+    # (PERF.md round 3k member_run sweep) — G=2 wherever it divides
     assert _group_for(32, 112) == 2
-    assert _group_for(32, 112, max_lanes=128) == 4
-    assert _group_for(64, 56, max_lanes=128) == 2
-    assert _group_for(64, 56) == 1
-    assert _group_for(128, 28) == 1
-    assert _group_for(32, 6, max_lanes=128) == 2   # divisibility cap
-    assert _group_for(32, 7, max_lanes=128) == 1
+    assert _group_for(64, 56) == 2
+    assert _group_for(128, 28) == 1    # 2*128 lanes > MAXLANES
+    assert _group_for(32, 7) == 1      # divisibility cap
+    # lifting the G cap recovers the wide packing
+    monkeypatch.setenv("DGTTA_ZPACK_MAXG", "0")
+    assert _group_for(32, 112) == 4
+    assert _group_for(32, 112, max_lanes=64) == 2
+    assert _group_for(32, 6) == 2      # divisibility cap
+    assert _group_for(32, 7) == 1
 
 
 @pytest.mark.parametrize("G,ci,co", [(4, 8, 8), (2, 8, 16), (4, 16, 8)])

@@ -192,6 +192,11 @@ def main():
             from dg_tta_tpu.infer.sliding_window import predict_volume
 
             stacked = jax.tree.map(jnp.asarray, adapted)
+            # warm-up pays the predictor compiles; the timed call is
+            # steady-state throughput (the BASELINE.json metric).  Fence
+            # with a scalar pull — never the full logits through the tunnel.
+            float(jnp.max(predict_volume(model, stacked, volj,
+                                         key=jax.random.PRNGKey(3))))
             t0 = time.perf_counter()
             logits = predict_volume(model, stacked, volj,
                                     key=jax.random.PRNGKey(3))

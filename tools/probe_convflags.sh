@@ -9,7 +9,7 @@ out=${1:-/tmp/r3h_flags.log}
 run() {
   name=$1; shift
   echo "### $name" >> "$out"
-  XLA_FLAGS="$*" PROBE_VARIANTS=ztap timeout 900 \
+  XLA_FLAGS="$*" PROBE_VARIANTS=zpack timeout 900 \
     python tools/probe_convvar.py >> "$out" 2>&1
   echo "### rc=$?" >> "$out"
 }

@@ -162,6 +162,88 @@ def _onehot_lerp_matrix(field, size, padding_mode, m_dtype):
     return lo * (1.0 - f)[..., None] + hi * f[..., None]
 
 
+def _band_width() -> int:
+    """Half-width of the static-shift band for the banded resample form.
+
+    DGTTA_SHEAR_BAND: 0 = always use the dense one-hot-matmul form;
+    N > 0 = use the banded form with half-width N (runtime-exact: an
+    out-of-band draw falls back to the dense form via lax.cond);
+    "auto" (default) = 16 on the TPU backend, 0 elsewhere.
+
+    Why: the dense form materializes a (B, D, H, W, size) one-hot matrix
+    (~400 MB bf16 per full-size pass) whose build + HBM round-trip
+    dominates the pass cost, while the reference TTA affine family
+    (get_rand_affine strength 0.05, Gaussian) keeps the tap offsets within
+    a few voxels of the diagonal: |floor(c(o)) - o| <= ~13 at 3 sigma on a
+    112x112x128 patch.  The banded form never builds the matrix — it sums
+    2*band+2 STATIC shifts of the value array against fused elementwise
+    weights (iota compares), which XLA fuses into one VPU loop with zero
+    extra HBM traffic.
+    """
+    import os
+    v = os.environ.get("DGTTA_SHEAR_BAND", "auto")
+    if v == "auto":
+        return 16 if jax.default_backend() == "tpu" else 0
+    return int(v)
+
+
+def _resample_axis_band_core(vals, fc, f, axis, padding_mode, band, size):
+    """out[.., o] = (1-f)*v[.., fc] + f*v[.., fc+1] via static shifts.
+
+    fc/f: floor and fraction of the (clipped) source coordinate, shaped
+    like `field` (B, D, H, W); valid only when fc - o in [-band, band]
+    everywhere (the caller guards with lax.cond).  Accumulates in f32 —
+    tighter than the dense bf16-matrix path it replaces (each output
+    element receives exactly its two tap products, in f32).
+    """
+    # field dims (B, D, H, W): vals axis 2/3/4 -> field axis 1/2/3
+    fax = axis - 1
+    o = jax.lax.broadcasted_iota(jnp.int32, fc.shape, fax)
+    dlo = fc.astype(jnp.int32) - o  # (B, D, H, W), in [-band, band]
+    f32 = f.astype(jnp.float32)
+    pad_cfg = [(0, 0)] * vals.ndim
+    pad_cfg[axis] = (band, band + 1)
+    mode = "edge" if padding_mode == "border" else "constant"
+    vp = jnp.pad(vals, pad_cfg, mode=mode)
+    out = jnp.zeros(vals.shape, jnp.float32)
+    for t in range(-band, band + 2):
+        # weight of the tap at source index o + t:
+        #   lo tap (fc == o+t) carries 1-f, hi tap (fc+1 == o+t) carries f
+        w = (jnp.where(dlo == t, 1.0 - f32, 0.0)
+             + jnp.where(dlo == t - 1, f32, 0.0))
+        sl = [slice(None)] * vals.ndim
+        sl[axis] = slice(t + band, t + band + size)
+        out = out + vp[tuple(sl)].astype(jnp.float32) * w[:, None]
+    return out.astype(vals.dtype)
+
+
+def _resample_axis_auto(vals, field, axis, padding_mode, m_dtype, band):
+    """Banded resample when the draw is in-band, dense one-hot matmul
+    otherwise (and always, when the band is disabled)."""
+    if band <= 0:
+        return _resample_axis(vals, field, axis, padding_mode, m_dtype)
+    size = vals.shape[axis]
+    if padding_mode == "border":
+        field = jnp.clip(field, 0.0, size - 1.0)
+    else:
+        # taps at exactly -1 / size carry zero weight (f == 0 after this
+        # clip), so clipping preserves torch zeros semantics exactly while
+        # bounding dlo for the in-band test
+        field = jnp.clip(field, -1.0, float(size))
+    fc = jnp.floor(field)
+    f = field - fc
+    fax = axis - 1
+    o = jax.lax.broadcasted_iota(jnp.int32, field.shape, fax)
+    dlo = fc.astype(jnp.int32) - o
+    ok = jnp.all((dlo >= -band) & (dlo <= band))
+    return jax.lax.cond(
+        ok,
+        lambda v: _resample_axis_band_core(v, fc, f, axis, padding_mode,
+                                           band, size),
+        lambda v: _resample_axis(v, field, axis, padding_mode, m_dtype),
+        vals)
+
+
 def _resample_axis(vals, field, axis, padding_mode, m_dtype):
     """Linearly resample `vals` (B, C, D, H, W) along `axis` (2, 3, or 4) at
     per-element coordinates `field` (B, D, H, W) via a one-hot matmul."""
@@ -180,10 +262,22 @@ def _resample_axis(vals, field, axis, padding_mode, m_dtype):
     return out.astype(vals.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "src_spatial", "padding_mode", "align_corners", "m_dtype_name"))
 def warp_affine_shear(flat, theta, src_spatial, padding_mode="zeros",
                       align_corners=False, m_dtype_name=None):
+    """Public wrapper: resolves the band env knob OUTSIDE the jit cache so
+    a DGTTA_SHEAR_BAND flip mid-process cannot reuse a stale trace (the
+    same pitfall the TTA fns cache fixed via formulation_key)."""
+    return _warp_affine_shear(flat, theta, src_spatial,
+                              padding_mode=padding_mode,
+                              align_corners=align_corners,
+                              m_dtype_name=m_dtype_name,
+                              band=_band_width())
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "src_spatial", "padding_mode", "align_corners", "m_dtype_name", "band"))
+def _warp_affine_shear(flat, theta, src_spatial, padding_mode="zeros",
+                       align_corners=False, m_dtype_name=None, band=0):
     """Shear-factorized resample of (B, C, N) channels-first flat volumes.
 
     Drop-in for grid_sample_flat(flat, src_spatial, affine_grid(theta))
@@ -205,10 +299,10 @@ def warp_affine_shear(flat, theta, src_spatial, padding_mode="zeros",
     vol = flat.reshape(B, C, D, H, W)
     # pass x, then y, then z (composition order: s = g_x after g_y after
     # g_z means the x-shear touches source data first)
-    vol = _resample_axis(vol, _pass_field(cx, bx, src_spatial), 4,
-                         padding_mode, m_dtype)
-    vol = _resample_axis(vol, _pass_field(cy, by, src_spatial), 3,
-                         padding_mode, m_dtype)
-    vol = _resample_axis(vol, _pass_field(cz, bz, src_spatial), 2,
-                         padding_mode, m_dtype)
+    vol = _resample_axis_auto(vol, _pass_field(cx, bx, src_spatial), 4,
+                              padding_mode, m_dtype, band)
+    vol = _resample_axis_auto(vol, _pass_field(cy, by, src_spatial), 3,
+                              padding_mode, m_dtype, band)
+    vol = _resample_axis_auto(vol, _pass_field(cz, bz, src_spatial), 2,
+                              padding_mode, m_dtype, band)
     return vol.reshape(B, C, N)

@@ -172,3 +172,71 @@ def test_bf16_smoke():
                             padding_mode="zeros", align_corners=False)
     np.testing.assert_allclose(np.asarray(got, dtype=np.float32),
                                np.asarray(ref), rtol=0.05, atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# banded static-shift form (DGTTA_SHEAR_BAND)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("C", [1, 10])
+def test_banded_matches_dense(monkeypatch, padding_mode, C):
+    """The banded form is numerically the dense form for in-band draws
+    (f32: both sum the same two tap products; banded accumulates f32)."""
+    key = jax.random.PRNGKey(7)
+    theta, _ = get_rand_affine(key, 2)
+    vol = smooth_volume(2, C, DHW, seed=3)
+    monkeypatch.setenv("DGTTA_SHEAR_BAND", "0")
+    dense = warp_affine_shear(vol, theta, DHW, padding_mode=padding_mode)
+    monkeypatch.setenv("DGTTA_SHEAR_BAND", "6")
+    banded = warp_affine_shear(vol, theta, DHW, padding_mode=padding_mode)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_banded_grad_matches_dense(monkeypatch):
+    key = jax.random.PRNGKey(11)
+    theta, _ = get_rand_affine(key, 1)
+    vol = smooth_volume(1, 4, DHW, seed=5)
+
+    def loss(v):
+        out = warp_affine_shear(v, theta, DHW, padding_mode="zeros")
+        return jnp.sum(out ** 2)
+
+    monkeypatch.setenv("DGTTA_SHEAR_BAND", "0")
+    g_dense = jax.grad(loss)(vol)
+    monkeypatch.setenv("DGTTA_SHEAR_BAND", "6")
+    g_band = jax.grad(loss)(vol)
+    np.testing.assert_allclose(np.asarray(g_band), np.asarray(g_dense),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_banded_out_of_band_falls_back(monkeypatch, padding_mode):
+    """A draw whose taps leave the static band must produce the DENSE
+    result (lax.cond fallback), not a silently-zeroed band output."""
+    # 5-voxel x translation with band=2: out of band everywhere
+    theta = translation_theta((0, 0, 5), DHW)
+    vol = smooth_volume(1, 3, DHW, seed=9)
+    monkeypatch.setenv("DGTTA_SHEAR_BAND", "0")
+    dense = warp_affine_shear(vol, theta, DHW, padding_mode=padding_mode)
+    monkeypatch.setenv("DGTTA_SHEAR_BAND", "2")
+    banded = warp_affine_shear(vol, theta, DHW, padding_mode=padding_mode)
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               atol=2e-6, rtol=2e-6)
+    # sanity: the translation really is out of band (result nontrivial)
+    assert float(jnp.abs(dense).max()) > 0.1
+
+
+def test_banded_in_band_translation_exact(monkeypatch):
+    """Integer translations inside the band are EXACT under the banded
+    form (the lerp collapses to a single shifted copy)."""
+    monkeypatch.setenv("DGTTA_SHEAR_BAND", "4")
+    theta = translation_theta((1, -2, 3), DHW)
+    vol = smooth_volume(1, 2, DHW, seed=1)
+    got = warp_affine_shear(vol, theta, DHW, padding_mode="zeros")
+    ref = grid_sample_flat(vol, DHW, affine_grid(theta, DHW,
+                                                 align_corners=False),
+                           padding_mode="zeros", align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

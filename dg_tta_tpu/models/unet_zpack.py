@@ -231,12 +231,21 @@ def _conv_packed_multi_convs(xps, w, b, G, section_ci, stride=(1, 1, 1)):
         prev_last = jnp.pad(xp[:, :-1, :, :, (G - 1) * ci:], zlo)
         lo = _conv2d(prev_last.reshape(B * Dp, H, W, ci), wk[0], pad,
                      (sy, sx))
-        r = r + jnp.pad(lo, ((0, 0),) * 3 + ((0, (Go - 1) * co),))
         if sz == 1:
             nxt_first = jnp.pad(xp[:, 1:, :, :, :ci], zhi)
             hi = _conv2d(nxt_first.reshape(B * Dp, H, W, ci), wk[2], pad,
                          (sy, sx))
-            r = r + jnp.pad(hi, ((0, 0),) * 3 + (((Go - 1) * co, 0),))
+            if Go == 2:
+                # lo feeds out-group 0, hi feeds out-group Go-1 == 1: the two
+                # crossing outputs tile the full lane range, so a lane concat
+                # replaces two full-size zero-padded writes + two adds
+                # (measured lever: the pads were most of the crossing bucket).
+                r = r + jnp.concatenate([lo, hi], axis=-1)
+            else:
+                r = r + jnp.pad(lo, ((0, 0),) * 3 + ((0, (Go - 1) * co),))
+                r = r + jnp.pad(hi, ((0, 0),) * 3 + (((Go - 1) * co, 0),))
+        else:
+            r = r + jnp.pad(lo, ((0, 0),) * 3 + ((0, (Go - 1) * co),))
         out = r if out is None else out + r
 
     Ho, Wo = out.shape[1:3]
@@ -386,6 +395,19 @@ def unet_apply_zpack(params, x, spec: ArchSpec, deep_supervision=False,
             G_pre = sz * G_out
             if G_pre == 1 and G == 1:
                 packed_ok = False       # plain z-tap is the tuned G=1 path
+            elif G_pre != G and G % sz == 0 and G > 1:
+                # stride conv at the carrier's own G: consume sz from the
+                # existing group structure (Go = G // sz) and repack the
+                # (sz*sy*sx)-times-smaller OUTPUT to G_out, instead of
+                # repacking the big input tensor to sz*G_out (the input
+                # repack of the full-res stage tensor was ~1.0 s/member in
+                # the r3n profile; the output repack moves 1/4 the bytes).
+                secs = sections if many else [int(w.shape[3])]
+                h = conv_packed_multi(xs, w, b, G, secs, (sz, sy, sx))
+                Go = G // sz
+                if Go != G_out:
+                    h = pack_z(unpack_z(h, Go), G_out)
+                return h, G_out
             else:
                 if G_pre != G:
                     xs = [pack_z(unpack_z(h, G), G_pre) for h in xs]

@@ -75,7 +75,8 @@ def _conv(x, w, b, stride=(1, 1, 1)):
             preferred_element_type=x.dtype)
         out = r if out is None else out + r
     oh, ow = out.shape[1:3]
-    return out.reshape(B, oz, oh, ow, co) + b
+    out = out.reshape(B, oz, oh, ow, co)
+    return out if b is None else out + b
 
 
 def _conv_transpose(x, w, b, stride=(2, 2, 2)):
@@ -131,7 +132,13 @@ def _leaky(x, slope):
 
 
 def _conv_block(x, p, stride, spec):
-    x = _conv(x, p["conv"]["w"], p["conv"]["b"], stride)
+    # b=None: a conv bias is a per-channel spatially-uniform shift, which the
+    # following InstanceNorm's mean subtraction cancels EXACTLY — the bias
+    # has zero effect on the block output and zero gradient (analytically so
+    # in the torch reference too, nnUNet conv->IN->lrelu blocks).  Skipping
+    # the add saves a full-tensor elementwise pass per conv and a
+    # full-tensor reduce in backward.  Heads/transpconvs (no IN) keep theirs.
+    x = _conv(x, p["conv"]["w"], None, stride)
     x = _instance_norm(x, p["norm"]["scale"], p["norm"]["bias"], spec.norm_eps)
     return _leaky(x, spec.leaky_slope)
 

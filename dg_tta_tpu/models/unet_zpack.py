@@ -200,7 +200,7 @@ def _conv_packed_multi_halo(xps, w, b, G, section_ci, stride=(1, 1, 1)):
 
     Ho, Wo = out.shape[1:3]
     out = out.reshape(B, Dp, Ho, Wo, Go * co)
-    return out + jnp.tile(b, Go)
+    return out if b is None else out + jnp.tile(b, Go)
 
 
 def _conv_packed_multi_convs(xps, w, b, G, section_ci, stride=(1, 1, 1)):
@@ -250,7 +250,7 @@ def _conv_packed_multi_convs(xps, w, b, G, section_ci, stride=(1, 1, 1)):
 
     Ho, Wo = out.shape[1:3]
     out = out.reshape(B, Dp, Ho, Wo, Go * co)
-    return out + jnp.tile(b, Go)
+    return out if b is None else out + jnp.tile(b, Go)
 
 
 def conv_packed(xp, w, b, G, stride=(1, 1, 1)):
@@ -383,7 +383,11 @@ def unet_apply_zpack(params, x, spec: ArchSpec, deep_supervision=False,
         hs, G = hG
         many = sections is not None
         xs = hs if many else [hs]
-        w, b = blk["conv"]["w"], blk["conv"]["b"]
+        # b=None: every block_conv is followed by _in_leaky, and a conv bias
+        # is exactly cancelled by InstanceNorm's mean subtraction (zero
+        # gradient too — same as unet._conv_block; torch reference behaves
+        # identically analytically).
+        w, b = blk["conv"]["w"], None
         sz, sy, sx = stride
         co = int(w.shape[4])
         D_true = xs[0].shape[1] * G

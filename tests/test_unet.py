@@ -223,3 +223,51 @@ def test_torch_state_dict_roundtrip(torch_net):
     # exported names match the torch module's own keys
     ref_keys = {k for k in torch_net.state_dict().keys()}
     assert set(sd.keys()) == ref_keys
+
+
+def test_stage_conv_bias_invariance():
+    """Stage-conv biases are exact no-ops: conv->InstanceNorm cancels a
+    per-channel uniform shift (PARITY.md round 3o), so the forward must be
+    BIT-identical under arbitrary stage-conv bias values, for the z-tap and
+    the z-packed formulations alike.  Head biases must still matter."""
+    import os
+    from dg_tta_tpu.models.unet_zpack import unet_apply_zpack
+
+    params = init_unet_params(jax.random.PRNGKey(0), SMALL_SPEC)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 16, 16, 16, 1)).astype(np.float32))
+
+    def scrambled(params, include_heads):
+        k = [jax.random.PRNGKey(99)]
+
+        def visit(p, path=""):
+            if isinstance(p, dict):
+                return {n: visit(v, f"{path}/{n}") for n, v in p.items()}
+            if isinstance(p, (list, tuple)):
+                return type(p)(visit(v, f"{path}/{i}")
+                               for i, v in enumerate(p))
+            touch = (path.endswith("/b")
+                     and ("seg_layers" in path) == include_heads
+                     and ("conv/b" in path or "seg_layers" in path))
+            if touch:
+                k[0], sub = jax.random.split(k[0])
+                return p + jax.random.normal(sub, p.shape, p.dtype)
+            return p
+
+        return visit(params)
+
+    ref = unet_apply(params, x, SMALL_SPEC)
+    got = unet_apply(scrambled(params, False), x, SMALL_SPEC)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    os.environ["DGTTA_UNET_ZPACK"] = "1"
+    try:
+        refz = unet_apply_zpack(params, x, SMALL_SPEC)
+        gotz = unet_apply_zpack(scrambled(params, False), x, SMALL_SPEC)
+        np.testing.assert_array_equal(np.asarray(refz), np.asarray(gotz))
+    finally:
+        del os.environ["DGTTA_UNET_ZPACK"]
+
+    # head biases are NOT dead: scrambling them must change the logits
+    head = unet_apply(scrambled(params, True), x, SMALL_SPEC)
+    assert float(jnp.max(jnp.abs(head - ref))) > 1e-3

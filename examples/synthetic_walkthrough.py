@@ -17,6 +17,10 @@ from pathlib import Path
 
 import numpy as np
 
+# Running the file directly puts examples/ (not the repo root) on sys.path;
+# make the walkthrough work from a source checkout without pip install.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 def main(base: Path):
     os.environ.setdefault("JAX_PLATFORMS", "cpu")

@@ -58,7 +58,8 @@ def formulation_key(spec) -> tuple:
             env("DGTTA_SHEAR_BAND", "auto"),
             env("DGTTA_WARP_IMPL", "auto"),
             env("DGTTA_PALLAS_WARP", "1"),
-            env("DGTTA_PALLAS_STAGE_LIMIT", "4"))
+            env("DGTTA_PALLAS_STAGE_LIMIT", "4"),
+            env("DGTTA_CONV_WGRAD", "auto"))
 
 
 def _use_zpack_unet() -> bool:

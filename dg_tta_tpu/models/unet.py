@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dg_tta_tpu.models.plans import ArchSpec
+from dg_tta_tpu.ops.conv2d import conv2d
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
 
@@ -61,18 +62,17 @@ def _conv(x, w, b, stride=(1, 1, 1)):
 
     if pz:
         x = jnp.pad(x, ((0, 0), (pz, pz), (0, 0), (0, 0), (0, 0)))
-    dn2 = jax.lax.conv_dimension_numbers(
-        (B * oz, H, W, C), (kh, kw, ci, co), ("NHWC", "HWIO", "NHWC"))
     out = None
     for kz in range(kd):
         xs = jax.lax.slice(
             x, (0, kz, 0, 0, 0),
             (B, kz + sz * (oz - 1) + 1, H, W, C),
             (1, sz, 1, 1, 1))
-        r = jax.lax.conv_general_dilated(
-            xs.reshape(B * oz, H, W, C), w[kz], (sy, sx),
-            [(py, py), (px, px)], dimension_numbers=dn2,
-            preferred_element_type=x.dtype)
+        # ops/conv2d: same forward conv, dot_general weight grad on TPU
+        # (DGTTA_CONV_WGRAD).
+        r = conv2d(
+            xs.reshape(B * oz, H, W, C), w[kz],
+            [(py, py), (px, px)], (sy, sx))
         out = r if out is None else out + r
     oh, ow = out.shape[1:3]
     out = out.reshape(B, oz, oh, ow, co)

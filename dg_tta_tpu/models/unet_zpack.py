@@ -54,6 +54,7 @@ from dg_tta_tpu.models.unet import (
     _instance_norm,
     _leaky,
 )
+from dg_tta_tpu.ops.conv2d import conv2d as _shared_conv2d
 
 
 def _group_for(channels: int, depth: int, max_lanes: int = None) -> int:
@@ -120,11 +121,9 @@ def _dense_tap0(w, G, sz=1):
 
 
 def _conv2d(x4, w4, padding, stride=(1, 1)):
-    dn = jax.lax.conv_dimension_numbers(
-        x4.shape, w4.shape, ("NHWC", "HWIO", "NHWC"))
-    return jax.lax.conv_general_dilated(
-        x4, w4, stride, padding, dimension_numbers=dn,
-        preferred_element_type=x4.dtype)
+    # ops/conv2d routes the weight gradient through per-tap dot_generals on
+    # TPU (DGTTA_CONV_WGRAD) — forward is the same conv_general_dilated.
+    return _shared_conv2d(x4, w4, padding, stride)
 
 
 def _cross_mode() -> str:

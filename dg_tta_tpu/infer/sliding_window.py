@@ -20,6 +20,7 @@ inference cost) and normalize in f32.
 """
 
 import math
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -27,6 +28,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.ndimage import gaussian_filter
+
+
+def _default_window_batch() -> int:
+    """Windows per member forward (DGTTA_INFER_WB, auto = 4 on TPU).
+
+    Each sliding-window forward at batch 1 is a small program dominated by
+    per-op emitter overhead, not MXU FLOPs; batching `wb` windows into one
+    forward amortizes that.  The batch axis here is a true batch dim (shared
+    params), so it does NOT hit the grouped-conv vmap cliff the member axis
+    does (PERF.md round 3d).  wb=1 reproduces the unbatched program
+    bit-for-bit.
+    """
+    v = os.environ.get("DGTTA_INFER_WB", "auto")
+    if v != "auto":
+        return max(1, int(v))
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probe
+        backend = "cpu"
+    return _TPU_AUTO_WB if backend == "tpu" else 1
+
+
+# TPU auto default; 1 until the on-chip wb sweep (tools/probe_infer.py)
+# picks the winner — see PERF.md round 3u
+_TPU_AUTO_WB = 1
 
 
 def compute_gaussian(patch_size, sigma_scale: float = 1.0 / 8,
@@ -81,7 +107,8 @@ def window_origins(image_size, patch_size, step_fraction: float = 0.5,
 
 def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
                                   dtype=jnp.float32, modify_input_fn=None,
-                                  modify_output_fn=None, mesh=None):
+                                  modify_output_fn=None, mesh=None,
+                                  window_batch: Optional[int] = None):
     """Build the jitted accumulation program.
 
     Returns fn(params_stacked, vol_padded, origins, valid) -> (D, H, W, C)
@@ -100,10 +127,20 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
     accumulators, one psum combines them; params/volume replicated).  The
     padded origin count must be divisible by the mesh size
     (window_origins pads to a multiple of 8).
+
+    window_batch: windows per member forward (None = _default_window_batch).
+    Each device's origin count must be divisible by it (predict_volume pads
+    accordingly).  wb=1 is the exact historical program; wb>1 runs each
+    member's forward on a true batch of wb patches and applies the wb
+    accumulator updates in window order, so GIN-model logits are
+    bit-identical to wb=1 (the key is unused at inference) and MIND noise
+    remains per-voxel i.i.d. (mind3d draws noise at batch shape), just under
+    a different key split.
     """
     patch_size = model.patch_size
     gauss = jnp.asarray(compute_gaussian(patch_size))[..., None]
     n_out = num_out_channels or model.spec.num_classes
+    wb = _default_window_batch() if window_batch is None else int(window_batch)
 
     def scan_origins(params_stacked, vol_padded, origins, valid, keys,
                      psum_axis=None):
@@ -111,14 +148,16 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
         acc = jnp.zeros((D, H, W, n_out), dtype)
         wacc = jnp.zeros((D, H, W, 1), dtype)
 
-        def fwd(params, patch, k):
-            x = patch[None]
+        def fwd_batch(params, x, k):
+            # x: (B, *patch, C) — a true batch of windows
             if modify_input_fn is not None:
                 x = modify_input_fn(x)
             logits = model.apply(params, x, key=k)
             if modify_output_fn is not None:
                 logits = modify_output_fn(logits)
-            return logits[0]
+            return logits
+
+        E = jax.tree.leaves(params_stacked)[0].shape[0]
 
         def body(carry, inp):
             acc, wacc = carry
@@ -127,12 +166,11 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
             patch = jax.lax.dynamic_slice(
                 vol_padded, (z, y, x, 0),
                 (*patch_size, vol_padded.shape[3]))
-            E = jax.tree.leaves(params_stacked)[0].shape[0]
             # sequential member loop (lax.map = scan), NOT vmap: vmapping
             # over per-member params lowers the convs as grouped convs,
             # measured +79% on this stack (PERF.md round 3d)
             logits = jax.lax.map(
-                lambda pk: fwd(pk[0], patch, pk[1]),
+                lambda pk: fwd_batch(pk[0], patch[None], pk[1])[0],
                 (params_stacked, jax.random.split(k, E)))
             logits = (jnp.mean(logits, axis=0) * gauss * v).astype(dtype)
             upd = jax.lax.dynamic_slice(acc, (z, y, x, 0),
@@ -144,8 +182,50 @@ def make_sliding_window_predictor(model, num_out_channels: Optional[int] = None,
             wacc = jax.lax.dynamic_update_slice(wacc, wupd, (z, y, x, 0))
             return (acc, wacc), None
 
-        (acc, wacc), _ = jax.lax.scan(body, (acc, wacc),
-                                      (origins, valid, keys))
+        def body_grouped(carry, inp):
+            # wb windows per member forward: the patch stack is a TRUE batch
+            # axis (shared params), so the convs stay dense; the wb
+            # accumulator updates run in window order after the forwards.
+            acc, wacc = carry
+            origins_g, valid_g, k = inp  # (wb, 3), (wb,), key
+            patches = jnp.stack([
+                jax.lax.dynamic_slice(
+                    vol_padded,
+                    (origins_g[i, 0], origins_g[i, 1], origins_g[i, 2], 0),
+                    (*patch_size, vol_padded.shape[3]))
+                for i in range(wb)])
+            # member accumulation (f32) instead of lax.map-stacking: the
+            # (E, wb, *patch, C) stack would cost E*wb patch-volumes of HBM
+            def member_body(s, pk):
+                return (s + fwd_batch(pk[0], patches, pk[1])
+                        .astype(jnp.float32), None)
+            zero = jnp.zeros((wb, *patch_size, n_out), jnp.float32)
+            s, _ = jax.lax.scan(member_body, zero,
+                                (params_stacked, jax.random.split(k, E)))
+            mean = s / E
+            for i in range(wb):
+                z, y, x = origins_g[i, 0], origins_g[i, 1], origins_g[i, 2]
+                li = (mean[i] * gauss * valid_g[i]).astype(dtype)
+                upd = jax.lax.dynamic_slice(acc, (z, y, x, 0),
+                                            (*patch_size, n_out)) + li
+                acc = jax.lax.dynamic_update_slice(acc, upd, (z, y, x, 0))
+                wupd = jax.lax.dynamic_slice(wacc, (z, y, x, 0),
+                                             (*patch_size, 1)) + (
+                    gauss * valid_g[i]).astype(dtype)
+                wacc = jax.lax.dynamic_update_slice(wacc, wupd, (z, y, x, 0))
+            return (acc, wacc), None
+
+        if wb == 1:
+            (acc, wacc), _ = jax.lax.scan(body, (acc, wacc),
+                                          (origins, valid, keys))
+        else:
+            n = origins.shape[0]
+            assert n % wb == 0, (n, wb)
+            (acc, wacc), _ = jax.lax.scan(
+                body_grouped, (acc, wacc),
+                (origins.reshape(n // wb, wb, 3),
+                 valid.reshape(n // wb, wb),
+                 keys[::wb]))
         if psum_axis is not None:
             acc = jax.lax.psum(acc, psum_axis)
             wacc = jax.lax.psum(wacc, psum_axis)
@@ -181,25 +261,27 @@ _PREDICTOR_CACHE = {}
 
 def get_cached_predictor(model, num_out_channels=None, dtype=jnp.float32,
                          modify_input_fn=None, modify_output_fn=None,
-                         mesh=None):
-    """One jitted predictor per (model, out-channels, modifiers, mesh): jit's
-    own shape cache then buckets compilations — with `predict_volume`'s
+                         mesh=None, window_batch=None):
+    """One jitted predictor per (model, out-channels, modifiers, mesh, wb):
+    jit's own shape cache then buckets compilations — with `predict_volume`'s
     bucket-padding, every volume sharing a (bucket shape, origin count)
     reuses one compilation instead of recompiling per volume."""
+    wb = _default_window_batch() if window_batch is None else int(window_batch)
     key = (model, num_out_channels, jnp.dtype(dtype).name,
-           modify_input_fn, modify_output_fn, mesh)
+           modify_input_fn, modify_output_fn, mesh, wb)
     if key not in _PREDICTOR_CACHE:
         _PREDICTOR_CACHE[key] = make_sliding_window_predictor(
             model, num_out_channels, dtype,
             modify_input_fn=modify_input_fn,
-            modify_output_fn=modify_output_fn, mesh=mesh)
+            modify_output_fn=modify_output_fn, mesh=mesh, window_batch=wb)
     return _PREDICTOR_CACHE[key]
 
 
 def predict_volume(model, params_stacked, vol, key=None,
                    step_fraction: float = 0.5, predictor=None,
                    modify_input_fn=None, modify_output_fn=None,
-                   bucket_multiple: int = 32, mesh=None, dtype=None):
+                   bucket_multiple: int = 32, mesh=None, dtype=None,
+                   window_batch=None):
     """Convenience wrapper: pad `vol` (D, H, W, C) to cover the window grid,
     run the jitted predictor, crop back.  Returns (D, H, W, C_out) logits.
 
@@ -231,9 +313,13 @@ def predict_volume(model, params_stacked, vol, key=None,
     # 27-window grid padded to 32 burned 5 of 32 forwards).  Mesh runs
     # need the count divisible by the mesh size for the even shard_map
     # split.
-    pad_multiple = 4
+    wb = (_default_window_batch() if window_batch is None
+          else int(window_batch))
+    # each device's share of the origin count must be divisible by the
+    # window batch (scan_origins groups wb windows per member forward)
+    pad_multiple = int(np.lcm(4, wb))
     if mesh is not None:
-        pad_multiple = int(np.lcm(4, mesh.size))
+        pad_multiple = int(np.lcm(pad_multiple, wb * mesh.size))
     origins, valid = window_origins(volp.shape[:3], patch, step_fraction,
                                     pad_multiple=pad_multiple)
     if predictor is None:
@@ -245,7 +331,7 @@ def predict_volume(model, params_stacked, vol, key=None,
                      else jnp.float32)
         predictor = get_cached_predictor(
             model, dtype=dtype, modify_input_fn=modify_input_fn,
-            modify_output_fn=modify_output_fn, mesh=mesh)
+            modify_output_fn=modify_output_fn, mesh=mesh, window_batch=wb)
     if key is None:
         key = jax.random.PRNGKey(0)
     logits = predictor(params_stacked, volp, jnp.asarray(origins),

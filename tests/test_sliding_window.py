@@ -125,6 +125,41 @@ def test_predictor_cache_no_recompile_across_shapes():
     assert pred._cache_size() == n_after_first
 
 
+def test_window_batch_matches_unbatched():
+    """wb>1 groups windows into one member forward (true batch axis); the
+    result must match the historical wb=1 program (exact for key-free
+    models — the accumulator updates run in the same window order)."""
+    m = tiny_model()
+    params = m.init_params(jax.random.PRNGKey(7))
+    rng = np.random.default_rng(7)
+    vol = jnp.asarray(rng.normal(size=(26, 19, 22, 1)).astype(np.float32))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                           params, m.init_params(jax.random.PRNGKey(8)))
+    ref = predict_volume(m, stacked, vol, window_batch=1)
+    for wb in (2, 4):
+        got = predict_volume(m, stacked, vol, window_batch=wb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_window_batch_mind_noise_finite():
+    """MIND models consume the key at inference; wb>1 re-splits it per
+    group, so only shape/finiteness (not bit-equality) is pinned."""
+    import dataclasses
+
+    m = dataclasses.replace(tiny_model(in_ch=12),
+                            trainer_name="nnUNetTrainer_MIND",
+                            uses_gin_internal=False, uses_mind=True)
+    params = m.init_params(jax.random.PRNGKey(9))
+    vol = jnp.asarray(np.random.default_rng(9)
+                      .normal(size=(18, 16, 17, 1)).astype(np.float32))
+    stacked = jax.tree.map(lambda p: p[None], params)
+    out = predict_volume(m, stacked, vol, key=jax.random.PRNGKey(1),
+                         window_batch=2)
+    assert out.shape == (18, 16, 17, m.spec.num_classes)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_small_volume_padded():
     m = tiny_model()
     params = m.init_params(jax.random.PRNGKey(4))

@@ -67,6 +67,64 @@ def flagship():
     return build_model(plans, dsj, trainer), (224, 224, 240)
 
 
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden", "bench_small.json")
+
+
+def _golden_knobs():
+    return {
+        "trainer": os.environ.get("BENCH_TRAINER", "nnUNetTrainer_GIN"),
+        "epochs": int(os.environ.get("BENCH_EPOCHS", 12)),
+        "bf16": os.environ.get("BENCH_BF16", "1"),
+        "split": os.environ.get("BENCH_SPLIT", "0"),
+        "patch_group": int(os.environ.get("BENCH_PATCH_GROUP", 1)),
+    }
+
+
+def _check_golden(losses, adapted):
+    """BENCH_SMALL oracle coupling (VERDICT r3 item 8): the small-scale
+    adaptation trajectory is frozen per backend in tests/golden/; a math
+    regression moves the per-epoch losses or the adapted-parameter digest
+    and flags here WITHOUT depending on member self-consistency.
+    BENCH_GOLDEN=record refreshes the golden file."""
+    import jax
+
+    traj = [round(float(np.mean(e)), 6) for e in np.asarray(losses)]
+    leaves = jax.tree.leaves(adapted)
+    lead = np.asarray(leaves[0], np.float32)
+    digest = {"loss_trajectory": traj,
+              "param_mean": round(float(lead.mean()), 6),
+              "param_absmean": round(float(np.abs(lead).mean()), 6)}
+    backend = jax.default_backend()
+    try:
+        with open(GOLDEN_PATH) as f:
+            golden = json.load(f)
+    except FileNotFoundError:
+        golden = {}
+    if os.environ.get("BENCH_GOLDEN") == "record":
+        golden[backend] = {"knobs": _golden_knobs(), "digest": digest}
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(golden, f, indent=2)
+        return {"golden": "recorded"}
+    entry = golden.get(backend)
+    if entry is None:
+        return {"golden": f"no golden for backend {backend}"}
+    if entry["knobs"] != _golden_knobs():
+        return {"golden": "knobs differ from recorded golden — skipped"}
+    ref = entry["digest"]
+    ok = (np.allclose(ref["loss_trajectory"], digest["loss_trajectory"],
+                      atol=5e-4)
+          and np.isclose(ref["param_mean"], digest["param_mean"],
+                         rtol=1e-3, atol=1e-6)
+          and np.isclose(ref["param_absmean"], digest["param_absmean"],
+                         rtol=1e-3))
+    if ok:
+        return {"golden": "ok"}
+    return {"golden": "MISMATCH", "golden_expected": ref,
+            "golden_got": digest}
+
+
 def _pallas_preflight(timeout_s: int = 1500) -> bool:
     """Compile+run a small Pallas warp in a SUBPROCESS with a hard timeout.
 
@@ -83,7 +141,7 @@ def _pallas_preflight(timeout_s: int = 1500) -> bool:
         "import jax, jax.numpy as jnp, numpy as np\n"
         "from dg_tta_tpu.core.fields import get_rand_affine\n"
         "from dg_tta_tpu.core.grid import affine_grid, grid_sample_flat\n"
-        "from dg_tta_tpu.ops.warp_pallas import grid_sample_flat_pallas\n"
+        "from dg_tta_tpu.ops.experimental.warp_pallas_staged import grid_sample_flat_pallas\n"
         "D,H,W=8,16,128; N=D*H*W\n"
         "flat = jax.random.normal(jax.random.PRNGKey(1),(1,2,N),jnp.float32)\n"
         "th,_ = get_rand_affine(jax.random.PRNGKey(2),1)\n"
@@ -105,6 +163,12 @@ def _pallas_preflight(timeout_s: int = 1500) -> bool:
 
 def main():
     import jax
+
+    # the axon TPU plugin overrides the JAX_PLATFORMS env var (CLAUDE.md);
+    # BENCH_BACKEND=cpu forces the CPU backend programmatically so the
+    # BENCH_SMALL golden-oracle CI check never touches the chip
+    if os.environ.get("BENCH_BACKEND"):
+        jax.config.update("jax_platforms", os.environ["BENCH_BACKEND"])
     import jax.numpy as jnp
 
     # Default warp routing never touches Mosaic: affine branches take the
@@ -182,6 +246,8 @@ def main():
     extra = {"final_loss": round(float(np.mean(losses[-1])), 6)}
     from dg_tta_tpu.models.network import _use_zpack_unet
     extra["unet"] = "zpack" if _use_zpack_unet() else "ztap"
+    if os.environ.get("BENCH_SMALL"):
+        extra.update(_check_golden(losses, adapted))
 
     # member-consistency pseudo-dice + inference throughput on the phantom.
     # Never let this section lose the headline number: any failure here

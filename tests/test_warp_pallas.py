@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from dg_tta_tpu.core.fields import get_disp_field, get_rand_affine
 from dg_tta_tpu.core.grid import affine_grid, grid_sample_flat, identity_grid
-from dg_tta_tpu.ops.warp_pallas import (
+from dg_tta_tpu.ops.experimental.warp_pallas_staged import (
     grid_sample_flat_pallas,
     pallas_warp_supported,
     staged_warp_reference,

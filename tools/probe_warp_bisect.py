@@ -15,7 +15,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dg_tta_tpu.ops.warp_pallas import (
+from dg_tta_tpu.ops.experimental.warp_pallas_staged import (
     _decisions, _own_fields, _stage_z, _stage_y, _stage_x_combine)
 
 D, H = 8, 16

@@ -16,7 +16,7 @@ import numpy as np
 def main():
     from dg_tta_tpu.core.fields import get_rand_affine
     from dg_tta_tpu.core.grid import affine_grid, grid_sample_flat
-    from dg_tta_tpu.ops.warp_pallas import grid_sample_flat_pallas
+    from dg_tta_tpu.ops.experimental.warp_pallas_staged import grid_sample_flat_pallas
 
     small = bool(os.environ.get("WP_SMALL"))
     D, H, W = (8, 10, 128) if small else (112, 112, 128)

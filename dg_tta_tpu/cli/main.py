@@ -36,7 +36,9 @@ def _cmd_pretrain(args):
         fold=args.fold,
         trainer_name=args.trainer,
         num_epochs=args.num_epochs,
+        val_iters_per_epoch=args.val_iters_per_epoch,
         num_devices=args.num_devices,
+        plans_name=args.plans_name,
         continue_training=args.continue_training,
     )
 
@@ -129,8 +131,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("fold", nargs="?", default="0")
     p.add_argument("-tr", "--trainer", default="nnUNetTrainer_GIN")
     p.add_argument("--num_epochs", type=int, default=1000)
-    p.add_argument("--num_devices", type=int, default=1,
-                   help="Data-parallel devices (the -num_gpus analog)")
+    p.add_argument("--val_iters_per_epoch", type=int, default=50,
+                   help="Validation iterations per epoch (nnUNet default 50)")
+    p.add_argument("--num_devices", "-num_gpus", type=int, default=1,
+                   help="Data-parallel devices (the nnUNet -num_gpus analog)")
+    p.add_argument("-p", "--plans_name", default="nnUNetPlans",
+                   help="Plans identifier (nnUNet -p passthrough, "
+                        "run.py:64-69)")
     p.add_argument("--c", dest="continue_training", action="store_true")
     p.set_defaults(fn=_cmd_pretrain)
 

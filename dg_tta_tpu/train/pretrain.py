@@ -56,19 +56,52 @@ WEIGHT_DECAY = 3e-5
 MOMENTUM = 0.99
 
 
+VAL_ITERS_PER_EPOCH = 50  # nnUNet num_val_iterations_per_epoch default
+
+
 def make_val_step(model):
-    """Validation pseudo-Dice on un-augmented patches (the analog of
-    nnUNet's per-epoch val pseudo-dice)."""
-    from dg_tta_tpu.core.losses import dice_coeff
+    """Per-class tp/fp/fn on un-augmented patches.
+
+    nnUNet's validation protocol (mirrored here): a fixed number of val
+    iterations per epoch accumulates per-foreground-class true/false
+    positives/negatives over ALL val batches, then the epoch's pseudo-Dice
+    is the GLOBAL 2tp/(2tp+fp+fn) per class (nan where a class never
+    occurs), nanmean'd over foreground classes — not a per-batch Dice mean.
+    Gather-free: per-class masks are == compares (PERF.md gather-cliff
+    rule)."""
+
+    n_cls = model.spec.num_classes
 
     @jax.jit
     def val_step(params, imgs, segs):
         logits = model.apply(params, imgs)
         pred = jnp.argmax(logits, axis=-1)
         gt = segs[..., 0].astype(jnp.int32)
-        return jnp.nanmean(dice_coeff(pred, gt, model.spec.num_classes))
+        match = pred == gt
+
+        def one(c):
+            p = (pred == c)
+            g = (gt == c)
+            tp = jnp.sum(jnp.where(g & match, 1.0, 0.0))
+            fp = jnp.sum(jnp.where(p, 1.0, 0.0)) - tp
+            fn = jnp.sum(jnp.where(g, 1.0, 0.0)) - tp
+            return tp, fp, fn
+
+        return jax.vmap(one)(jnp.arange(1, n_cls))
 
     return val_step
+
+
+def _global_pseudo_dice(tp, fp, fn):
+    """nnUNet on_validation_epoch_end semantics: global per-class Dice from
+    accumulated counts; classes absent from both pred and GT give nan and
+    are excluded from the foreground mean."""
+    denom = 2.0 * tp + fp + fn
+    per_class = np.where(denom > 0, 2.0 * tp / np.maximum(denom, 1e-8),
+                         np.nan)
+    if np.all(np.isnan(per_class)):
+        return 0.0, per_class
+    return float(np.nanmean(per_class)), per_class
 
 
 def make_train_step(model, da_cfg: DAConfig, batch_dice: bool = True):
@@ -103,17 +136,30 @@ def make_train_step(model, da_cfg: DAConfig, batch_dice: bool = True):
 
 
 def _ensure_preprocessed(dataset_name: str, plans: Optional[dict],
-                         preprocessed_dir: Path):
+                         preprocessed_dir: Path,
+                         configuration: str = "3d_fullres",
+                         plans_name: str = "nnUNetPlans"):
     raw_dir = nnunet_raw() / dataset_name
     with open(raw_dir / "dataset.json") as f:
         dataset_json = json.load(f)
-    plans_path = preprocessed_dir / "plans.json"
+    # custom plans identifiers (the reference's `-p` nnUNet passthrough,
+    # run.py:64-69) live at {plans_name}.json; "nnUNetPlans" keeps the
+    # historical plans.json filename so existing stores keep working
+    plans_fname = ("plans.json" if plans_name == "nnUNetPlans"
+                   else f"{plans_name}.json")
+    plans_path = preprocessed_dir / plans_fname
     if plans is None:
         if plans_path.is_file():
             plans = json.load(open(plans_path))
         else:
             fp = fingerprint_dataset(raw_dir)
             plans = plan_experiment(dataset_json, fp, dataset_name)
+            plans["plans_name"] = plans_name
+            for c in plans.get("configurations", {}).values():
+                if "data_identifier" in c:
+                    c["data_identifier"] = (
+                        f"{plans_name}_"
+                        f"{c['data_identifier'].split('_', 1)[1]}")
             preprocessed_dir.mkdir(parents=True, exist_ok=True)
             with open(preprocessed_dir / "dataset_fingerprint.json", "w") as f:
                 json.dump(fp, f, indent=2)
@@ -121,10 +167,26 @@ def _ensure_preprocessed(dataset_name: str, plans: Optional[dict],
     with open(plans_path, "w") as f:
         json.dump(plans, f, indent=2)
 
-    store = preprocessed_dir / "nnUNetPlans_3d_fullres"
+    if configuration not in plans.get("configurations", {}):
+        raise KeyError(
+            f"configuration {configuration!r} not in plans "
+            f"(available: {sorted(plans.get('configurations', {}))})")
+    # the preprocessed store is named by the configuration's data_identifier
+    # (nnUNet semantics: plans['configurations'][cfg]['data_identifier'],
+    # reference reachable via run.py:64-69 argv passthrough) — a hardcoded
+    # nnUNetPlans_3d_fullres here would silently read wrong-resolution data
+    # for any other configuration
+    cfg = plans["configurations"][configuration]
+    store = preprocessed_dir / cfg.get(
+        "data_identifier", f"{plans.get('plans_name', plans_name)}"
+                           f"_{configuration}")
     splits_path = preprocessed_dir / "splits_final.json"
+    if not store.is_dir() or not any(store.glob("*.npz")):
+        cases = preprocess_dataset(raw_dir, plans, store,
+                                   configuration=configuration)
+    else:
+        cases = sorted(p.stem for p in store.glob("*.npz"))
     if not splits_path.is_file():
-        cases = preprocess_dataset(raw_dir, plans, store)
         splits = make_splits(cases)
         with open(splits_path, "w") as f:
             json.dump(splits, f, indent=2)
@@ -138,8 +200,9 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                     num_epochs: int = 1000, continue_training: bool = False,
                     plans: Optional[dict] = None,
                     iters_per_epoch: int = ITERS_PER_EPOCH,
+                    val_iters_per_epoch: int = VAL_ITERS_PER_EPOCH,
                     batch_size: Optional[int] = None,
-                    num_devices: int = 1,
+                    num_devices: int = 1, plans_name: str = "nnUNetPlans",
                     seed: int = 0, verbose: bool = True):
     """The `dgtta pretrain` entry (run.py:64-69 surface)."""
     assert trainer_name in TRAINER_REGISTRY, trainer_name
@@ -151,7 +214,8 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
         "nnUNet_preprocessed", nnunet_results().parent / "nnUNet_preprocessed"))
     preprocessed_dir = preprocessed_root / dataset_name
     dataset_json, plans, store, splits = _ensure_preprocessed(
-        dataset_name, plans, preprocessed_dir)
+        dataset_name, plans, preprocessed_dir, configuration=configuration,
+        plans_name=plans_name)
 
     cfg = plans["configurations"][configuration]
     patch_size = tuple(cfg["patch_size"])
@@ -159,13 +223,16 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
         batch_size = int(cfg.get("batch_size", 2))
 
     out_dir = (nnunet_results() / dataset_name /
-               f"{trainer_name}__nnUNetPlans__{configuration}" /
+               f"{trainer_name}__{plans_name}__{configuration}" /
                (f"fold_{fold}" if fold != "all" else "all"))
     out_dir.mkdir(parents=True, exist_ok=True)
-    for fname in ("plans.json", "dataset_fingerprint.json"):
-        src = preprocessed_dir / fname
-        if src.is_file():
-            shutil.copy(src, out_dir.parent / fname)
+    # the results folder always carries `plans.json` (nnUNet convention),
+    # whatever the preprocessed-side plans file was called
+    with open(out_dir.parent / "plans.json", "w") as f:
+        json.dump(plans, f, indent=2)
+    src = preprocessed_dir / "dataset_fingerprint.json"
+    if src.is_file():
+        shutil.copy(src, out_dir.parent / "dataset_fingerprint.json")
     with open(out_dir.parent / "dataset.json", "w") as f:
         json.dump(dataset_json, f, indent=2)
 
@@ -203,8 +270,11 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
 
     key = jax.random.PRNGKey(seed)
     ckpt_latest = out_dir / "checkpoint_latest.npz"
+    ckpt_best = out_dir / "checkpoint_best.npz"
     ckpt_opt = out_dir / "checkpoint_latest_optimizer.npz"
     start_epoch = 0
+    ema_dice = None  # nnUNet _best_ema tracking (0.9 EMA of val pseudo-Dice)
+    best_ema = None
     if continue_training and ckpt_latest.is_file():
         # full training-state resume (the nnUNet checkpoint contract carries
         # optimizer state and RNG too): params + momentum trace + PRNG key —
@@ -240,6 +310,8 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                   "restarts from zero")
         if "rng_key" in meta:
             key = jnp.asarray(np.asarray(meta["rng_key"], dtype=np.uint32))
+        ema_dice = meta.get("ema_dice")
+        best_ema = meta.get("best_ema")
         if verbose:
             print(f"Resuming from epoch {start_epoch}")
     else:
@@ -280,24 +352,44 @@ def run_pretraining(dataset_id, configuration: str = "3d_fullres",
                 jnp.float32(lr))
             losses.append(loss)
         mean_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
-        vi, vs = val_sampler.batch(batch_size)
-        val_dice = float(val_step(params, jnp.asarray(vi),
-                                  jnp.asarray(vs.astype(np.float32))))
+        # nnUNet validation protocol: fixed val-iteration count, global
+        # tp/fp/fn accumulation, EMA'd pseudo-Dice drives checkpoint_best
+        tp = fp = fn = 0.0
+        acc = None
+        for _ in range(val_iters_per_epoch):
+            vi, vs = val_sampler.batch(batch_size)
+            t, p, n = val_step(params, jnp.asarray(vi),
+                               jnp.asarray(vs.astype(np.float32)))
+            acc = ((t, p, n) if acc is None
+                   else jax.tree.map(jnp.add, acc, (t, p, n)))
+        tp, fp, fn = (np.asarray(x) for x in acc)
+        val_dice, _ = _global_pseudo_dice(tp, fp, fn)
+        ema_dice = (val_dice if ema_dice is None
+                    else 0.9 * ema_dice + 0.1 * val_dice)
         dt = time.perf_counter() - t0
         if verbose:
             print(f"epoch {epoch:4d}  loss={mean_loss:.4f}  "
-                  f"val_pseudo_dice={val_dice:.4f}  lr={lr:.2e}  {dt:.1f}s")
+                  f"val_pseudo_dice={val_dice:.4f}  ema={ema_dice:.4f}  "
+                  f"lr={lr:.2e}  {dt:.1f}s")
         with open(log_path, "a") as f:
             f.write(json.dumps({"epoch": epoch, "loss": mean_loss,
                                 "val_pseudo_dice": val_dice,
+                                "ema_dice": ema_dice,
                                 "lr": lr, "seconds": dt}) + "\n")
         params_to_flat_npz(params, ckpt_latest)
+        if best_ema is None or ema_dice > best_ema:
+            best_ema = ema_dice
+            params_to_flat_npz(params, ckpt_best)
+            if verbose:
+                print(f"  new best EMA pseudo-Dice {best_ema:.4f} "
+                      f"-> checkpoint_best")
         _leaves = jax.tree_util.tree_leaves(opt_state)
         np.savez(ckpt_opt, **{f"leaf_{i:05d}": np.asarray(l)
                               for i, l in enumerate(_leaves)})
         with open(out_dir / "training_state.json", "w") as f:
             json.dump({"epoch": epoch, "trainer": trainer_name,
-                       "rng_key": np.asarray(key).tolist()}, f)
+                       "rng_key": np.asarray(key).tolist(),
+                       "ema_dice": ema_dice, "best_ema": best_ema}, f)
 
     stop_flag.set()
     params_to_flat_npz(params, out_dir / "checkpoint_final.npz")

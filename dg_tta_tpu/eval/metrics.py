@@ -14,12 +14,12 @@ from pathlib import Path
 
 import numpy as np
 
-from dg_tta_tpu.data.nifti import read_nifti
+from dg_tta_tpu.data.io import SUPPORTED_ENDINGS, read_image
 
 
 def _case_metrics(pred_file, ref_file, labels):
-    pred, _ = read_nifti(pred_file)
-    ref, _ = read_nifti(ref_file)
+    pred, _ = read_image(pred_file)
+    ref, _ = read_image(ref_file)
     pred = pred[0].astype(np.int32)
     ref = ref[0].astype(np.int32)
     out = {}
@@ -51,7 +51,7 @@ def compute_metrics_on_folder(pred_dir, ref_dir, labels, num_processes: int = 1,
     pred_dir, ref_dir = Path(pred_dir), Path(ref_dir)
     labels = [int(l) for l in labels]
     ref_files = sorted(p for p in ref_dir.iterdir()
-                       if p.name.endswith((".nii", ".nii.gz")))
+                       if p.name.endswith(SUPPORTED_ENDINGS))
     pairs = []
     for rf in ref_files:
         pf = pred_dir / rf.name

@@ -37,7 +37,7 @@ def show_planes(vol, title: str = "", n_slices: int = 4, save_path=None):
 
 
 def show_image_file(path, **kw):
-    from dg_tta_tpu.data.nifti import read_nifti
-    data, props = read_nifti(path)
+    from dg_tta_tpu.data.io import read_image
+    data, props = read_image(path)
     return show_planes(data[0], title=f"{Path(path).name} "
                                       f"spacing={props['spacing']}", **kw)

@@ -98,7 +98,7 @@ CHECK_NOTEBOOK_CELLS = [
     "import numpy as np\n"
     "import jax.numpy as jnp\n"
     "import matplotlib.pyplot as plt\n"
-    "from dg_tta_tpu.data.nifti import read_nifti\n"
+    "from dg_tta_tpu.data.io import read_image\n"
     "from dg_tta_tpu.tta.config import load_current_modifier_functions\n"
     "PLAN_DIR = pathlib.Path('.')\n"
     "plan = json.load(open(PLAN_DIR / 'tta_plan.json'))\n"
@@ -106,7 +106,7 @@ CHECK_NOTEBOOK_CELLS = [
     "fns = mod.ModifierFunctions",
 
     "img_path = plan['tta_data_filepaths'][0]\n"
-    "data, props = read_nifti(img_path)\n"
+    "data, props = read_image(img_path)\n"
     "print(img_path, data.shape, props['spacing'])",
 
     "def show_planes(vol, title=''):\n"

@@ -17,7 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
-from dg_tta_tpu.data.nifti import read_nifti
+from dg_tta_tpu.data.io import SUPPORTED_ENDINGS, read_image
 from dg_tta_tpu.data.preprocess import preprocess_case
 
 
@@ -35,9 +35,9 @@ def fingerprint_dataset(raw_dir, num_cases: int = 50, seed: int = 0):
 
     spacings, shapes, fg_samples = [], [], []
     for img_path in images:
-        data, props = read_nifti(img_path)
+        data, props = read_image(img_path)
         case = img_path.name
-        for ext in (".nii.gz", ".nii"):
+        for ext in SUPPORTED_ENDINGS:
             if case.endswith(ext):
                 case = case[: -len(ext)]
         case = case.rsplit("_", 1)[0]
@@ -46,7 +46,7 @@ def fingerprint_dataset(raw_dir, num_cases: int = 50, seed: int = 0):
         spacings.append(list(props["spacing"]))
         shapes.append(list(data.shape[1:]))
         if seg_path.is_file():
-            seg, _ = read_nifti(seg_path)
+            seg, _ = read_image(seg_path)
             fg = data[0][seg[0] > 0]
             if fg.size:
                 k = min(10000, fg.size)
@@ -140,16 +140,16 @@ def preprocess_dataset(raw_dir, plans: dict, out_dir,
     cases = []
     for img_path in images:
         case = img_path.name
-        for ext in (".nii.gz", ".nii"):
+        for ext in SUPPORTED_ENDINGS:
             if case.endswith(ext):
                 case = case[: -len(ext)]
         case = case.rsplit("_", 1)[0]
         ext = "".join(Path(img_path).suffixes)
-        data, props = read_nifti(img_path)
+        data, props = read_image(img_path)
         seg_path = raw_dir / "labelsTr" / f"{case}{ext}"
         seg = None
         if seg_path.is_file():
-            seg_raw, _ = read_nifti(seg_path)
+            seg_raw, _ = read_image(seg_path)
             seg = seg_raw.astype(np.int16)
         data_pp, seg_pp, info = preprocess_case(data, props, plans,
                                                 configuration, seg=seg)

@@ -230,7 +230,14 @@ def prepare_tta(pretrained_dataset_id, tta_dataset_id, pretrainer=None,
             weights_file_path = weights_file_path.with_suffix(".npz")
 
     with open(nnunet_raw() / tta_dataset_name / "dataset.json") as f:
-        tta_dataset_classes = json.load(f)["labels"]
+        tta_dataset_json = json.load(f)
+    tta_dataset_classes = tta_dataset_json["labels"]
+    # fail loudly at prepare time for unsupported image formats (the
+    # reference accepts whatever SimpleITKIO reads, tta.py:21,141; our
+    # native codecs cover data/io.SUPPORTED_ENDINGS)
+    from dg_tta_tpu.data.io import check_file_ending_supported
+    check_file_ending_supported(
+        tta_dataset_json.get("file_ending", ".nii.gz"))
 
     with open(plan_dir / f"{pretrained_dataset_name}_label_mapping.json",
               "w") as f:

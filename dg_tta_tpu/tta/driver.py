@@ -28,7 +28,8 @@ import numpy as np
 
 from dg_tta_tpu.core.labels import get_map_idxs, map_label_argmaxed
 from dg_tta_tpu.core.patches import bucket_shape_for, pad_to_bucket
-from dg_tta_tpu.data.nifti import read_nifti, write_nifti
+from dg_tta_tpu.data.io import (SUPPORTED_ENDINGS, read_image,
+                                write_image)
 from dg_tta_tpu.data.preprocess import preprocess_case, undo_preprocessing_logits
 from dg_tta_tpu.infer.sliding_window import predict_volume
 from dg_tta_tpu.models.convert import (
@@ -90,7 +91,7 @@ _CHANNEL_SUFFIX = re.compile(r"(.*)_\d{4}$")
 def case_name_from_image_path(path) -> str:
     """Strip the nnUNet channel suffix: case_0000.nii.gz -> case."""
     name = Path(path).name
-    for ext in (".nii.gz", ".nii"):
+    for ext in SUPPORTED_ENDINGS:
         if name.endswith(ext):
             name = name[: -len(ext)]
             break
@@ -112,11 +113,11 @@ def load_tta_data(plan: TTAPlan, tta_data_dir, plans: dict,
                 continue
             case = case_name_from_image_path(fp)
             ext = "".join(fp.suffixes)
-            data, props = read_nifti(fp)
+            data, props = read_image(fp)
             label_fp = tta_data_dir / f"labels{bucket}" / f"{case}{ext}"
             seg = None
             if label_fp.is_file():
-                seg_raw, _ = read_nifti(label_fp)
+                seg_raw, _ = read_image(label_fp)
                 seg = seg_raw.astype(np.int16)
             data_pp, seg_pp, info = preprocess_case(
                 data, props, plans, configuration, seg=seg)
@@ -316,7 +317,7 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
                 jnp.asarray(seg.astype(np.int32)), map_pre))
             out_path = save_path / (sample.sample_id + sample.file_extension)
             out_path.parent.mkdir(exist_ok=True, parents=True)
-            write_nifti(out_path, seg_mapped.astype(np.uint8), sample.props)
+            write_image(out_path, seg_mapped.astype(np.uint8), sample.props)
         prediction_paths.append((out_path, sample))
 
     # ---- Phase 3: evaluation -------------------------------------------
@@ -331,10 +332,10 @@ def tta_main(run_name: str, plan: TTAPlan, tta_data_dir, save_base_path,
         mapped_dir.mkdir(exist_ok=True)
         target = mapped_dir / out_path.name
         shutil.copy(orig_label, target)
-        seg_raw, props = read_nifti(target)
+        seg_raw, props = read_image(target)
         mapped = np.asarray(map_label_argmaxed(
             jnp.asarray(seg_raw[0].astype(np.int32)), map_tta))
-        write_nifti(target, mapped.astype(np.uint8), props)
+        write_image(target, mapped.astype(np.uint8), props)
 
     for bucket in ("Ts", "Tr"):
         mapped_dir = save_path / f"mapped_target_labels{bucket}"

@@ -50,9 +50,10 @@ def _default_window_batch() -> int:
     return _TPU_AUTO_WB if backend == "tpu" else 1
 
 
-# TPU auto default; 1 until the on-chip wb sweep (tools/probe_infer.py)
-# picks the winner — see PERF.md round 3u
-_TPU_AUTO_WB = 1
+# TPU auto default, set by the on-chip wb sweep (tools/probe_infer.py,
+# PERF.md r4a): full-size TS104 E=3 predict_volume measured 18.1 vol/min at
+# wb=1, 20.65 at wb=2 (winner, +14%), 18.5 at wb=4, OOM at wb=8
+_TPU_AUTO_WB = 2
 
 
 def compute_gaussian(patch_size, sigma_scale: float = 1.0 / 8,

@@ -38,9 +38,11 @@ def build():
     n_ep = int(os.environ.get("PROBE_EPOCHS", 12))
     group = int(os.environ.get("PROBE_GROUP", 1))
     ncls = int(os.environ.get("PROBE_CLASSES", 10))
+    remat = os.environ.get("PROBE_REMAT", "0") == "1"
     plan = TTAPlan(patches_to_be_accumulated=acc, epochs=n_ep)
     idx = np.arange(min(ncls, model.spec.num_classes), dtype=np.int32)
-    fns = make_tta_functions(model, plan, idx, idx, patch_group=group)
+    fns = make_tta_functions(model, plan, idx, idx, patch_group=group,
+                             remat=remat)
 
     params = model.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)

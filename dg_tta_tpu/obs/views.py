@@ -41,3 +41,34 @@ def show_image_file(path, **kw):
     data, props = read_image(path)
     return show_planes(data[0], title=f"{Path(path).name} "
                                       f"spacing={props['spacing']}", **kw)
+
+
+def show_ts104_reference_image(save_path=None):
+    """Display the TS104 canonical-orientation reference screenshot
+    (reference ipynb_utils.py:141-151 `show_ts104_image`) so users can
+    compare their dataset's orientation against it in the check notebook.
+
+    The PNG ships with the reference package resources; when that mount is
+    absent this raises FileNotFoundError naming the expected path (there is
+    no meaningful fallback for a photograph)."""
+    from dg_tta_tpu.resources import REFERENCE_RESOURCES
+    img_path = REFERENCE_RESOURCES / "TS104_input_view.png"
+    if not img_path.is_file():
+        raise FileNotFoundError(
+            f"TS104 reference view not found at {img_path}; the reference "
+            "resources are not mounted")
+    import matplotlib
+    if save_path is not None:
+        matplotlib.use("Agg")
+    import matplotlib.image
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(dpi=150.0, figsize=(7.0, 7.0))
+    fig.set_facecolor("black")
+    ax.imshow(matplotlib.image.imread(img_path))
+    ax.axis("off")
+    ax.set_facecolor("black")
+    if save_path is not None:
+        fig.savefig(save_path, facecolor="black")
+        plt.close(fig)
+    return fig

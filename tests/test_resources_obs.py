@@ -46,6 +46,20 @@ def test_plane_grid_and_show(tmp_path):
     assert out.stat().st_size > 0
 
 
+def test_show_ts104_reference_image(tmp_path):
+    """Reference ipynb_utils.py:141-151 port: renders the shipped PNG when
+    the reference resources are mounted, raises a named error otherwise."""
+    from dg_tta_tpu.obs.views import show_ts104_reference_image
+    from dg_tta_tpu.resources import REFERENCE_RESOURCES
+    out = tmp_path / "ts104.png"
+    if (REFERENCE_RESOURCES / "TS104_input_view.png").is_file():
+        show_ts104_reference_image(save_path=out)
+        assert out.stat().st_size > 0
+    else:
+        with pytest.raises(FileNotFoundError):
+            show_ts104_reference_image(save_path=out)
+
+
 def test_wandb_guard_noop():
     # wandb is absent in this image: guard must short-circuit cleanly
     assert wandb_run_is_available() is False

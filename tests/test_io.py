@@ -57,6 +57,44 @@ def test_nrrd_roundtrip(tmp_path, vol_and_props, compressed):
     np.testing.assert_allclose(got["affine"], props["affine"], atol=1e-6)
 
 
+@pytest.mark.parametrize("gz", [False, True])
+def test_nifti2_roundtrip(tmp_path, vol_and_props, gz):
+    """NIfTI-2 (540-byte header, 64-bit dims): write version=2, read back
+    through the same dispatch path as NIfTI-1 files (SimpleITK reads both
+    transparently — so must we)."""
+    from dg_tta_tpu.data.nifti import HDR2_SIZE, read_nifti, write_nifti
+    vol, props = vol_and_props
+    path = tmp_path / ("x.nii.gz" if gz else "x.nii")
+    write_nifti(path, vol, props, dtype=np.float32, version=2)
+    # header really is NIfTI-2
+    import gzip
+    import struct
+    opener = gzip.open if gz else open
+    with opener(path, "rb") as f:
+        head = f.read(12)
+    assert struct.unpack_from("<i", head, 0)[0] == HDR2_SIZE
+    assert head[4:7] == b"n+2"
+    data, got = read_nifti(path)
+    np.testing.assert_allclose(data[0], vol, rtol=1e-6)
+    np.testing.assert_allclose(got["spacing"], props["spacing"])
+    np.testing.assert_allclose(got["affine"], props["affine"], atol=1e-6)
+    # and through the generic ending dispatch
+    data2, _ = read_image(path)
+    np.testing.assert_allclose(data2, data, rtol=1e-6)
+
+
+def test_nifti_versions_agree(tmp_path, vol_and_props):
+    from dg_tta_tpu.data.nifti import read_nifti, write_nifti
+    vol, props = vol_and_props
+    write_nifti(tmp_path / "v1.nii", vol, props, version=1)
+    write_nifti(tmp_path / "v2.nii", vol, props, version=2)
+    d1, p1 = read_nifti(tmp_path / "v1.nii")
+    d2, p2 = read_nifti(tmp_path / "v2.nii")
+    np.testing.assert_array_equal(d1, d2)
+    # v2 carries geometry at double precision — at least as good as v1
+    np.testing.assert_allclose(p1["affine"], p2["affine"], atol=1e-5)
+
+
 def test_multichannel_roundtrip(tmp_path):
     rng = np.random.default_rng(1)
     vol = rng.normal(size=(3, 5, 6, 7)).astype(np.float32)

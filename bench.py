@@ -246,6 +246,16 @@ def main():
     extra = {"final_loss": round(float(np.mean(losses[-1])), 6)}
     from dg_tta_tpu.models.network import _use_zpack_unet
     extra["unet"] = "zpack" if _use_zpack_unet() else "ztap"
+    if (not os.environ.get("BENCH_SMALL")
+            and os.environ.get("BENCH_TRAINER",
+                               "nnUNetTrainer_GIN") == "nnUNetTrainer_GIN"):
+        # Absolute MFU next to the timing (PERF.md r4b): 2.1756 TF per
+        # fwd+bwd branch pass is the XLA-counted cost of the TS104 GIN
+        # U-Net at the flagship patch (tools/mfu_accounting.py, AOT);
+        # v5e bf16 peak 197 TF/s.  dt covers the whole adaptation
+        # (ensemble x epochs x acc x 2 branch passes).
+        passes = plan.ensemble_count * epochs * plan.patches_to_be_accumulated * 2
+        extra["mfu_pct"] = round(100 * passes * 2.1756e12 / dt / 197e12, 2)
     if os.environ.get("BENCH_SMALL"):
         extra.update(_check_golden(losses, adapted))
 

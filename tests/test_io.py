@@ -83,6 +83,36 @@ def test_nifti2_roundtrip(tmp_path, vol_and_props, gz):
     np.testing.assert_allclose(data2, data, rtol=1e-6)
 
 
+def test_nifti_big_endian_read(tmp_path, vol_and_props):
+    """Both header versions claim either-endianness reads; pin the
+    big-endian NIfTI-1 path with a hand-packed header + '>f4' payload."""
+    import struct
+    from dg_tta_tpu.data.nifti import read_nifti
+    vol, props = vol_and_props
+    D, H, W = vol.shape
+    affine = props["affine"]
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, W, H, D, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 16)   # float32
+    struct.pack_into(">h", hdr, 72, 32)   # bitpix
+    struct.pack_into(">8f", hdr, 76, 1.0, props["spacing"][2],
+                     props["spacing"][1], props["spacing"][0],
+                     1.0, 1.0, 1.0, 1.0)
+    struct.pack_into(">f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into(">f", hdr, 112, 1.0)    # scl_slope
+    struct.pack_into(">h", hdr, 254, 1)      # sform_code
+    struct.pack_into(">12f", hdr, 280, *affine[:3].reshape(-1).tolist())
+    hdr[344:348] = b"n+1\x00"
+    path = tmp_path / "be.nii"
+    path.write_bytes(bytes(hdr) + b"\x00" * 4
+                     + vol.astype(">f4").tobytes())
+    data, got = read_nifti(path)
+    np.testing.assert_allclose(data[0], vol, rtol=1e-6)
+    np.testing.assert_allclose(got["spacing"], props["spacing"], rtol=1e-6)
+    np.testing.assert_allclose(got["affine"], affine, atol=1e-5)
+
+
 def test_nifti_versions_agree(tmp_path, vol_and_props):
     from dg_tta_tpu.data.nifti import read_nifti, write_nifti
     vol, props = vol_and_props

@@ -280,6 +280,15 @@ def main():
             del logits, seg
             dt_inf = time.perf_counter() - t0
             extra["infer_vol_per_min"] = round(60.0 / dt_inf, 2)
+            # On-device throughput: same program, fenced by a scalar pull
+            # instead of hauling the full argmax volume through the dev
+            # tunnel — this is what a colocated user sees (r4 verdict #8).
+            t0 = time.perf_counter()
+            float(jnp.max(jnp.argmax(predict_volume(
+                model, stacked, volj, key=jax.random.PRNGKey(3)),
+                axis=-1)))
+            extra["infer_vol_per_min_device"] = round(
+                60.0 / (time.perf_counter() - t0), 2)
             # per-member segs for the consistency metric (members 0 and 1)
             m0 = jax.tree.map(lambda p: p[0:1], stacked)
             m1 = jax.tree.map(lambda p: p[1:2], stacked) if (

@@ -214,3 +214,19 @@ def get_rand_affine(key, batch_size: int, strength: float = 0.05,
     t_inv = -jnp.einsum("bij,bj->bi", r_inv, t)
     inverse = jnp.concatenate([r_inv, t_inv[:, :, None]], axis=2)
     return affine[:, :3], inverse
+
+
+def compose_affine(P, Q):
+    """Composition z -> P(Q(z)) of two torch-style (B, 3, 4) affines.
+
+    Both act on xyz-ordered homogeneous normalized coordinates (the
+    affine_grid convention): P(z) = R_P z + t_P, so the composite has
+    R = R_P R_Q and t = R_P t_Q + t_P.  Used by the relative-frame
+    consistency path (tta/engine.py): theta_rel = theta_a_inv o theta_b
+    warps branch-a logits directly into branch-b's frame with ONE
+    resample instead of inverse-warping both branches.
+    """
+    P, Q = jnp.asarray(P), jnp.asarray(Q)
+    R = jnp.einsum("bij,bjk->bik", P[:, :, :3], Q[:, :, :3])
+    t = jnp.einsum("bij,bj->bi", P[:, :, :3], Q[:, :, 3]) + P[:, :, 3]
+    return jnp.concatenate([R, t[:, :, None]], axis=2)

@@ -258,3 +258,20 @@ def grid_sample(
 def warp(vol, disp_grid, **kw):
     """Convenience: sample `vol` at `identity + displacement` positions."""
     return grid_sample(vol, disp_grid, **kw)
+
+
+def affine_inside_mask_flat(theta, spatial_size, align_corners: bool = False):
+    """(B, 1, N) float32 mask: 1 where theta maps the output voxel inside
+    the normalized cube [-1, 1]^3.
+
+    The analytic analog of the zero band a zeros-padded resample stamps
+    into warped content (tta.py:549-551 reference semantics): pure iota
+    math, no resample, nothing gather-lowering.  Used by the
+    relative-frame consistency path to reproduce the original-frame
+    domain Omega ∩ theta_b Omega without warping a ones-channel.
+    """
+    gx, gy, gz = affine_grid(theta, spatial_size, align_corners)
+    inside = ((jnp.abs(gx) <= 1.0) & (jnp.abs(gy) <= 1.0)
+              & (jnp.abs(gz) <= 1.0))
+    B = inside.shape[0]
+    return inside.astype(jnp.float32).reshape(B, 1, -1)

@@ -88,6 +88,10 @@ def read_mha(path):
                          f"{path}")
     ndims = int(hdr.get("NDims", 3))
     sizes = [int(x) for x in hdr["DimSize"].split()]  # x y z [t]
+    if ndims > 3 and any(s > 1 for s in sizes[3:]):
+        raise UnsupportedImageFormat(
+            f"{path} (temporal/{ndims}-D MetaImage with non-trivial 4th "
+            f"dimension {sizes[3:]}; only 2-D/3-D volumes are supported)")
     n_chan = int(hdr.get("ElementNumberOfChannels", 1))
     dtype = np.dtype(_MET_DTYPES[hdr["ElementType"]])
     if hdr.get("BinaryDataByteOrderMSB", "False").lower() == "true" or \
@@ -213,8 +217,17 @@ def read_nrrd(path):
     raw = Path(path).read_bytes()
     if not raw.startswith(b"NRRD"):
         raise ValueError(f"Not a NRRD file: {path}")
-    end = raw.index(b"\n\n") if b"\n\n" in raw else raw.index(b"\r\n\r\n")
-    skip = 2 if b"\n\n" in raw[: end + 2] else 4
+    # Header/data boundary: the EARLIEST of a blank LF line and a blank
+    # CRLF line wins.  Preferring b"\n\n" anywhere in the file would land
+    # inside the binary payload for CRLF-terminated headers (valid per
+    # spec) whose payload happens to contain 0x0a 0x0a.
+    p_lf, p_crlf = raw.find(b"\n\n"), raw.find(b"\r\n\r\n")
+    if p_lf < 0 and p_crlf < 0:
+        raise ValueError(f"NRRD header/data boundary not found: {path}")
+    if p_crlf >= 0 and (p_lf < 0 or p_crlf < p_lf):
+        end, skip = p_crlf, 4
+    else:
+        end, skip = p_lf, 2
     hdr_text = raw[:end].decode("ascii", "replace")
     fields = {}
     for line in hdr_text.splitlines()[1:]:

@@ -31,7 +31,8 @@ from scipy.ndimage import gaussian_filter
 
 
 def _default_window_batch() -> int:
-    """Windows per member forward (DGTTA_INFER_WB, auto = 4 on TPU).
+    """Windows per member forward (DGTTA_INFER_WB, auto = _TPU_AUTO_WB=2
+    on TPU — measured winner of the r4a on-chip sweep, see below).
 
     Each sliding-window forward at batch 1 is a small program dominated by
     per-op emitter overhead, not MXU FLOPs; batching `wb` windows into one

@@ -181,11 +181,22 @@ def _ensure_preprocessed(dataset_name: str, plans: Optional[dict],
         "data_identifier", f"{plans.get('plans_name', plans_name)}"
                            f"_{configuration}")
     splits_path = preprocessed_dir / "splits_final.json"
-    if not store.is_dir() or not any(store.glob("*.npz")):
+    # A store is only complete if its completion marker lists exactly the
+    # cases present — `any(*.npz)` alone would silently accept (and bake
+    # into splits_final.json) a preprocessing run interrupted mid-dataset.
+    marker = store / ".preprocess_complete.json"
+    complete = False
+    if marker.is_file():
+        listed = json.load(open(marker)).get("cases", [])
+        complete = bool(listed) and all(
+            (store / f"{c}.npz").is_file() for c in listed)
+    if not complete:
         cases = preprocess_dataset(raw_dir, plans, store,
                                    configuration=configuration)
+        with open(marker, "w") as f:
+            json.dump({"cases": sorted(cases)}, f)
     else:
-        cases = sorted(p.stem for p in store.glob("*.npz"))
+        cases = sorted(json.load(open(marker))["cases"])
     if not splits_path.is_file():
         splits = make_splits(cases)
         with open(splits_path, "w") as f:

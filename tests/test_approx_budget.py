@@ -43,3 +43,27 @@ def test_shipped_vs_exact_engine_dice_bound():
     assert np.isfinite(detail["exact_final_loss"])
     assert abs(detail["shipped_final_loss"]
                - detail["exact_final_loss"]) < 0.05
+
+
+def test_shipped_vs_exact_accuracy_delta_vs_ground_truth():
+    """The bound the "equal Dice" target actually names (r4 verdict item
+    3): with a briefly-pretrained model (confident logits — the realistic
+    TTA regime), the shipped engine's Dice against the phantom's GROUND
+    TRUTH must match the exact engine's to within 0.01, per class and on
+    the mean.  The shipped-vs-exact agreement is kept as a secondary
+    check and must be at least as tight as the random-init measurement
+    (0.95 CI bound) — the "confident logits agree harder" claim,
+    measured rather than asserted."""
+    tool = _load_tool()
+    dice, detail = tool.compare_engines(
+        patch=64, n_classes=21, epochs=1, acc=2, ensemble=1, vol_size=80,
+        features=(8, 16), pretrain_steps=25, verbose=False)
+    acc = detail["dice_vs_gt"]
+    # the pretrained model genuinely segments the phantom
+    assert acc["shipped_mean"] >= 0.5, acc
+    assert acc["exact_mean"] >= 0.5, acc
+    # accuracy delta: the CI bound on the approximation budget
+    assert detail["accuracy_delta_mean"] <= 0.01, acc
+    assert detail["accuracy_delta_per_class_max"] <= 0.01, acc
+    # secondary: agreement with confident logits >= random-init bound
+    assert dice >= 0.95, (dice, detail["per_class"])

@@ -106,6 +106,40 @@ def test_dp_pretrain_step_on_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_dp_pretrain_step_matches_single_device():
+    """The DP-sharded pretrain step is NUMERICALLY the single-device step:
+    same global batch + key -> same loss and same updated params (the TTA
+    paths all carry this equivalence test; r4 verdict item 7a)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dg_tta_tpu.train.augment import DAConfig
+    from dg_tta_tpu.train.pretrain import make_train_step
+
+    m = tiny_model()
+    mesh = make_mesh(8)
+    tx, step = make_train_step(m, DAConfig())
+    params0 = m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(8, 16, 16, 16, 1)).astype(np.float32))
+    segs = jnp.asarray(
+        rng.integers(0, 4, (8, 16, 16, 16, 1)).astype(np.float32))
+    key, lr = jax.random.PRNGKey(1), jnp.float32(1e-2)
+
+    # step donates (params, opt) — give each call its own copies
+    p_a = jax.tree.map(jnp.copy, params0)
+    p_b = jax.tree.map(jnp.copy, params0)
+    opt_a, opt_b = tx.init(p_a), tx.init(p_b)
+    p_ref, _, loss_ref = step(p_a, opt_a, key, imgs, segs, lr)
+    p_sh, _, loss_sh = step(
+        p_b, opt_b, key,
+        jax.device_put(imgs, NamedSharding(mesh, P("data"))),
+        jax.device_put(segs, NamedSharding(mesh, P("data"))), lr)
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_stream_train_per_stream_volumes(setup):
     """Joint (sample x member) streams: each stream adapts on its OWN
     volume — the volume-axis parallelism of SURVEY §2.3 — and matches the

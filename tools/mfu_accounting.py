@@ -101,6 +101,20 @@ def main(argv=None):
     vol_floor = args.ensemble * floor_member
     measured_vol = args.ensemble * args.member_s + args.infer_s
 
+    # --- N-chip projection at the MEASURED MFU (r4 verdict item 2) -------
+    # Members are independent streams, so N chips run ceil(E/N) member
+    # waves; inference shards over window origins (assume ideal speedup,
+    # bounded below by one window).  This is the honest projection — the
+    # 100%-MFU floor says what the hardware allows, this row says what the
+    # CURRENT engine delivers on N chips.
+    nchip_proj = {}
+    for n in (1, 2, 3, 4, 8):
+        waves = -(-args.ensemble // n)  # ceil
+        nchip_proj[f"{n}_chips_s"] = round(
+            waves * args.member_s + args.infer_s / min(n, 4), 2)
+    member_needed_3chip = 10.0 - args.infer_s / 3
+    mfu_needed_3chip = analytic_member / member_needed_3chip / peak
+
     out = {
         "fwd_flops_per_patch_tf": round(fwd_flops / 1e12, 4),
         "fwd_bwd_flops_per_patch_tf": round(fb_flops / 1e12, 4),
@@ -114,6 +128,10 @@ def main(argv=None):
         "member_floor_s_at_100pct_mfu": round(floor_member, 2),
         "volume_floor_s_at_100pct_mfu(adapt only)": round(vol_floor, 2),
         "volume_measured_s": round(measured_vol, 2),
+        "volume_projection_at_measured_mfu": nchip_proj,
+        "member_s_needed_for_10s_on_3_chips": round(member_needed_3chip, 2),
+        "mfu_pct_needed_for_10s_on_3_chips": round(
+            100 * mfu_needed_3chip, 1),
     }
     print(json.dumps(out, indent=2))
     return 0

@@ -11,7 +11,7 @@ for lvl in 0 1 2 3 4; do
 import jax, jax.numpy as jnp, numpy as np, time
 from dg_tta_tpu.core.fields import get_rand_affine
 from dg_tta_tpu.core.grid import affine_grid
-from dg_tta_tpu.ops.warp_pallas import grid_sample_flat_pallas
+from dg_tta_tpu.ops.experimental.warp_pallas_staged import grid_sample_flat_pallas
 D,H,W=8,16,128; N=D*H*W
 flat = jax.random.normal(jax.random.PRNGKey(1),(1,2,N),jnp.float32)
 th,_ = get_rand_affine(jax.random.PRNGKey(2),1)

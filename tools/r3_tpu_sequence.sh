@@ -25,7 +25,7 @@ step warp_small 1500 python -c "
 import jax, jax.numpy as jnp, numpy as np
 from dg_tta_tpu.core.fields import get_rand_affine
 from dg_tta_tpu.core.grid import affine_grid, grid_sample_flat
-from dg_tta_tpu.ops.warp_pallas import grid_sample_flat_pallas
+from dg_tta_tpu.ops.experimental.warp_pallas_staged import grid_sample_flat_pallas
 import time
 D,H,W=8,16,128; N=D*H*W
 flat = jax.random.normal(jax.random.PRNGKey(1),(1,2,N),jnp.float32)

@@ -39,7 +39,12 @@ def build():
     group = int(os.environ.get("PROBE_GROUP", 1))
     ncls = int(os.environ.get("PROBE_CLASSES", 10))
     remat = os.environ.get("PROBE_REMAT", "0") == "1"
-    plan = TTAPlan(patches_to_be_accumulated=acc, epochs=n_ep)
+    # PROBE_SPATIAL=deformable measures the spatial_aug_type="deformable"
+    # member program (r4 verdict item 5: it bypasses the shear fast path
+    # and rides the XLA gather warp — quantify whether the cliff bites)
+    spatial = os.environ.get("PROBE_SPATIAL", "affine")
+    plan = TTAPlan(patches_to_be_accumulated=acc, epochs=n_ep,
+                   spatial_aug_type=spatial)
     idx = np.arange(min(ncls, model.spec.num_classes), dtype=np.int32)
     fns = make_tta_functions(model, plan, idx, idx, patch_group=group,
                              remat=remat)

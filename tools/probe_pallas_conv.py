@@ -23,6 +23,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHAPES = {
+    # compile smoke first: same kernel structure (multi-tile halo, all
+    # modes) at trivial size — validates Mosaic handles the program shape
+    # before the big compiles are attempted (wedge-risk protocol, CLAUDE.md)
+    "tiny": (2, 32, 128, 64, 64),
     "stage0": (112, 112, 128, 64, 64),
     "stage1": (56, 56, 64, 128, 128),
 }

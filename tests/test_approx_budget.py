@@ -67,3 +67,21 @@ def test_shipped_vs_exact_accuracy_delta_vs_ground_truth():
     assert detail["accuracy_delta_per_class_max"] <= 0.01, acc
     # secondary: agreement with confident logits >= random-init bound
     assert dice >= 0.95, (dice, detail["per_class"])
+
+
+def test_relative_frame_accuracy_delta_vs_ground_truth():
+    """Same GT-accuracy bound with the relative-frame consistency loss
+    (engine.py DGTTA_REL_FRAME) stacked on the shipped approximations —
+    the r4 verdict item-1b gate: the single-warp loss must not move the
+    final segmentation's ACCURACY beyond the plain shipped stack's bound
+    (mid-size measurement recorded in PERF.md r5a / PARITY §7)."""
+    tool = _load_tool()
+    dice, detail = tool.compare_engines(
+        patch=64, n_classes=21, epochs=1, acc=2, ensemble=1, vol_size=80,
+        features=(8, 16), pretrain_steps=25, relative=True, verbose=False)
+    acc = detail["dice_vs_gt"]
+    assert acc["shipped_mean"] >= 0.5, acc
+    assert acc["exact_mean"] >= 0.5, acc
+    assert detail["accuracy_delta_mean"] <= 0.01, acc
+    assert detail["accuracy_delta_per_class_max"] <= 0.01, acc
+    assert dice >= 0.95, (dice, detail["per_class"])

@@ -47,6 +47,32 @@ def bench(fn, args, iters=5):
     return min(ts)
 
 
+K_LO, K_HI = 8, 40
+
+
+def bench_chained(conv_one, x, w, repeats=4):
+    """Per-conv seconds, dispatch-free: the second probe run measured every
+    variant pinned at ~23-27 ms — pure tunnel dispatch+scalar-pull latency
+    burying the ~1.6 ms compute.  This chains K convs inside ONE jitted
+    fori_loop (CO == C on both stage shapes, so the output feeds back as
+    the next input) and returns the K_HI/K_LO slope, cancelling the
+    constant dispatch/fence cost exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(k):
+        @jax.jit
+        def run(x, w):
+            y = jax.lax.fori_loop(
+                0, k, lambda i, a: conv_one(a, w).astype(x.dtype), x)
+            return y.astype(jnp.float32).sum()
+        return run
+
+    lo, hi = chained(K_LO), chained(K_HI)
+    t_lo, t_hi = bench(lo, (x, w), repeats), bench(hi, (x, w), repeats)
+    return (t_hi - t_lo) / (K_HI - K_LO)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -70,19 +96,17 @@ def main():
         w = jnp.asarray(rng.normal(size=(3, 3, C, CO)) * 0.05, dt)
         gflop = 2 * N * H * W * 9 * C * CO / 1e9
 
-        # timed form returns a scalar so only 4 bytes cross the tunnel;
-        # the f32 sum cannot be elided and adds one cheap reduction
-        xla_fn = jax.jit(lambda a, b: _plain_conv2d(
-            a, b, ((1, 1), (1, 1)), (1, 1)).astype(jnp.float32).sum())
-        t_xla = bench(xla_fn, (x, w))
+        t_xla = bench_chained(
+            lambda a, b: _plain_conv2d(a, b, ((1, 1), (1, 1)), (1, 1)),
+            x, w)
         row = {"gflop": round(gflop, 1),
                "xla_ms": round(t_xla * 1e3, 3),
                "xla_tfps": round(gflop / t_xla / 1e3, 1)}
         for mode in modes:
             try:
-                fn = jax.jit(lambda a, b, m=mode: conv3x3_pallas(
-                    a, b, mode_name=m).astype(jnp.float32).sum())
-                t = bench(fn, (x, w))
+                t = bench_chained(
+                    lambda a, b, m=mode: conv3x3_pallas(a, b, mode_name=m),
+                    x, w)
                 # on-device compare: only the scalar max crosses the tunnel
                 errf = jax.jit(lambda a, b, m=mode: jnp.abs(
                     conv3x3_pallas(a, b, mode_name=m).astype(jnp.float32)

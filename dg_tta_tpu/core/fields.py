@@ -90,10 +90,29 @@ def get_rf_field(key, num_batch, size_3d, interpolation_factor: int = 4,
     return field / (1e-3 + std)
 
 
-def _warp_field(field_cl, positions_xyz):
-    """grid_sample a (B,D,H,W,3) displacement field at given xyz positions."""
+def _warp_field(field_cl, positions_xyz, impl: str = "gather",
+                padding_mode: str = "border"):
+    """grid_sample a (B,D,H,W,3) displacement field at given xyz positions.
+
+    impl="shear" routes through the banded per-axis resampler
+    (ops/warp_shear.warp_grid_shear) instead of the joint gather: this is
+    the ONLY gather in the deformable field generation, it runs channels-
+    last with C=3 (the pathological small-lane gather layout, CLAUDE/PERF
+    gather notes) at full patch size inside a fori_loop, and the full-size
+    deformable member program FAULTS the v5e worker at runtime with it
+    (PERF.md r5d).  The fields here are tiny (scaled by 1/2^time_steps),
+    so the sequential-pass cross terms are negligible.
+    """
+    if impl == "shear":
+        from dg_tta_tpu.ops.warp_shear import warp_grid_shear
+        B, D, H, W, C = field_cl.shape
+        flat = jnp.moveaxis(field_cl, -1, 1).reshape(B, C, -1)
+        grid = tuple(positions_xyz[..., i] for i in range(3))
+        out = warp_grid_shear(flat, grid, (D, H, W),
+                              padding_mode=padding_mode, align_corners=True)
+        return jnp.moveaxis(out.reshape(B, C, D, H, W), 1, -1)
     return grid_sample(field_cl, positions_xyz, mode="trilinear",
-                       padding_mode="border", align_corners=True)
+                       padding_mode=padding_mode, align_corners=True)
 
 
 def calc_consistent_diffeomorphic_field(
@@ -102,6 +121,7 @@ def calc_consistent_diffeomorphic_field(
     time_steps: int = 1,
     ensure_inverse_consistency: bool = True,
     iter_steps_override=None,
+    warp_impl: str = "gather",
 ):
     """Scaling-and-squaring with optional inverse-consistency iterations.
 
@@ -133,8 +153,10 @@ def calc_consistent_diffeomorphic_field(
 
         def body(_, carry):
             ds, inv_ds = carry
-            new_ds = 0.5 * ds - 0.5 * _warp_field(inv_ds, identity + ds)
-            new_inv = 0.5 * inv_ds - 0.5 * _warp_field(ds, identity + inv_ds)
+            new_ds = 0.5 * ds - 0.5 * _warp_field(inv_ds, identity + ds,
+                                                  warp_impl)
+            new_inv = 0.5 * inv_ds - 0.5 * _warp_field(ds, identity + inv_ds,
+                                                       warp_impl)
             return new_ds, new_inv
 
         ds, inv_ds = jax.lax.fori_loop(0, steps, body, (ds, inv_ds))
@@ -146,12 +168,10 @@ def calc_consistent_diffeomorphic_field(
 
         def body(_, carry):
             ds, inv_ds = carry
-            new_ds = ds + grid_sample(ds, identity + ds, mode="trilinear",
-                                      padding_mode="zeros", align_corners=True)
-            new_inv = inv_ds + grid_sample(inv_ds, identity + inv_ds,
-                                           mode="trilinear",
-                                           padding_mode="zeros",
-                                           align_corners=True)
+            new_ds = ds + _warp_field(ds, identity + ds, warp_impl,
+                                      padding_mode="zeros")
+            new_inv = inv_ds + _warp_field(inv_ds, identity + inv_ds,
+                                           warp_impl, padding_mode="zeros")
             return new_ds, new_inv
 
         ds, inv_ds = jax.lax.fori_loop(0, steps, body, (ds, inv_ds))
@@ -162,7 +182,7 @@ def calc_consistent_diffeomorphic_field(
 
 
 def get_disp_field(key, batch_num, size_3d, factor: float = 0.1,
-                   interpolation_factor: int = 5):
+                   interpolation_factor: int = 5, warp_impl: str = "gather"):
     """Random inverse-consistent displacement grids (normalized units).
 
     Reference: augmentation_utils.py:138-153 (with its latent kwarg bug fixed).
@@ -176,7 +196,7 @@ def get_disp_field(key, batch_num, size_3d, factor: float = 0.1,
     STEPS = 5
     disp, inv_disp = calc_consistent_diffeomorphic_field(
         field * factor, jnp.zeros_like(field), STEPS,
-        ensure_inverse_consistency=True,
+        ensure_inverse_consistency=True, warp_impl=warp_impl,
     )
     return unpack_grid(disp), unpack_grid(inv_disp)
 

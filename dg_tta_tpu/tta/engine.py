@@ -213,6 +213,17 @@ def make_tta_functions(
                     and (_rel_env == "1"
                          or (_rel_env == "auto"
                              and jax.default_backend() == "tpu")))
+    # Deformable branch warps: the joint gather form FAULTS the v5e worker
+    # at runtime in the full-size member program (PERF.md r5d), so on TPU
+    # they route through the sequential per-axis banded resampler
+    # (ops/warp_shear.warp_grid_shear, O(|d|*grad d) cross-term contract).
+    # DGTTA_DISP_SHEAR: 0 = joint gather everywhere, 1 = force, auto = TPU.
+    _disp_env = os.environ.get("DGTTA_DISP_SHEAR", "auto")
+    use_disp_shear = (plan.spatial_aug_type == "deformable"
+                      and not exact_warp_grad
+                      and (_disp_env == "1"
+                           or (_disp_env == "auto"
+                               and jax.default_backend() == "tpu")))
 
     def branch_aug(key, imgs, branch_id):
         """Pre-model augmentation of one branch; returns the augmented input
@@ -253,10 +264,19 @@ def make_tta_functions(
                     jnp.cross(R[:, :, 1], R[:, :, 2], axis=-1)))
             else:
                 disp, disp_inv = get_disp_field(
-                    k_sp, B, patch_size, factor=0.5, interpolation_factor=5)
+                    k_sp, B, patch_size, factor=0.5, interpolation_factor=5,
+                    warp_impl="shear" if use_disp_shear else "gather")
                 grid = tuple(i[None] + d for i, d in zip(ident, disp))
                 grid_inv = tuple(i[None] + d
                                  for i, d in zip(ident, disp_inv))
+                if use_disp_shear:
+                    from dg_tta_tpu.ops.warp_shear import warp_grid_shear
+                    xf = warp_grid_shear(xf, grid, patch_size,
+                                         padding_mode="border",
+                                         align_corners=False,
+                                         m_dtype_name=shear_m_dtype)
+                    x = jnp.moveaxis(xf.reshape(B, Cin, *patch_size), 1, -1)
+                    return x, ("dispshear", grid, grid_inv)
                 # diffeomorphic near-identity field: |det(I + grad d)| ~ 1
                 adj_scale = jnp.ones((B,))
             # warp in channels-first flat form (the TPU-fast gather layout;
@@ -280,6 +300,15 @@ def make_tta_functions(
                                      padding_mode="zeros",
                                      align_corners=False,
                                      m_dtype_name=shear_m_dtype)
+        if warp_ctx[0] == "dispshear":
+            # unwarp by the analytic inverse field; jax.grad through the
+            # banded passes is the exact adjoint of this (approximate)
+            # warp, so no |det| scale is needed (cf. the shear path)
+            from dg_tta_tpu.ops.warp_shear import warp_grid_shear
+            return warp_grid_shear(logits_flat, warp_ctx[2], patch_size,
+                                   padding_mode="zeros",
+                                   align_corners=False,
+                                   m_dtype_name=shear_m_dtype)
         _, grid, grid_inv, adj_scale = warp_ctx
         if exact_warp_grad:
             return grid_sample_flat(logits_flat, patch_size, grid_inv,

@@ -53,15 +53,23 @@ def test_shipped_vs_exact_accuracy_delta_vs_ground_truth():
     the mean.  The shipped-vs-exact agreement is kept as a secondary
     check and must be at least as tight as the random-init measurement
     (0.95 CI bound) — the "confident logits agree harder" claim,
-    measured rather than asserted."""
+    measured rather than asserted.
+
+    vol_size == patch deliberately: the phantom's classes are intensity-
+    coded and the U-Net is instance-normalized, so with vol > patch each
+    sliding window sees different intensity statistics and the SAME
+    network flips classes across window placements (measured r5: per-
+    window Dice 0.17-0.76 at vol 80 / patch 64, aligned 0.998) — that is
+    phantom fragility, not an engine property, and it would drown the
+    engine delta this test actually bounds."""
     tool = _load_tool()
     dice, detail = tool.compare_engines(
-        patch=64, n_classes=21, epochs=1, acc=2, ensemble=1, vol_size=80,
-        features=(8, 16), pretrain_steps=25, verbose=False)
+        patch=64, n_classes=21, epochs=1, acc=2, ensemble=1, vol_size=64,
+        features=(8, 16), pretrain_steps=200, verbose=False)
     acc = detail["dice_vs_gt"]
     # the pretrained model genuinely segments the phantom
-    assert acc["shipped_mean"] >= 0.5, acc
-    assert acc["exact_mean"] >= 0.5, acc
+    assert acc["shipped_mean"] >= 0.8, acc
+    assert acc["exact_mean"] >= 0.8, acc
     # accuracy delta: the CI bound on the approximation budget
     assert detail["accuracy_delta_mean"] <= 0.01, acc
     assert detail["accuracy_delta_per_class_max"] <= 0.01, acc
@@ -77,11 +85,11 @@ def test_relative_frame_accuracy_delta_vs_ground_truth():
     (mid-size measurement recorded in PERF.md r5a / PARITY §7)."""
     tool = _load_tool()
     dice, detail = tool.compare_engines(
-        patch=64, n_classes=21, epochs=1, acc=2, ensemble=1, vol_size=80,
-        features=(8, 16), pretrain_steps=25, relative=True, verbose=False)
+        patch=64, n_classes=21, epochs=1, acc=2, ensemble=1, vol_size=64,
+        features=(8, 16), pretrain_steps=200, relative=True, verbose=False)
     acc = detail["dice_vs_gt"]
-    assert acc["shipped_mean"] >= 0.5, acc
-    assert acc["exact_mean"] >= 0.5, acc
+    assert acc["shipped_mean"] >= 0.8, acc
+    assert acc["exact_mean"] >= 0.8, acc
     assert detail["accuracy_delta_mean"] <= 0.01, acc
     assert detail["accuracy_delta_per_class_max"] <= 0.01, acc
     assert dice >= 0.95, (dice, detail["per_class"])

@@ -240,3 +240,120 @@ def test_banded_in_band_translation_exact(monkeypatch):
                            padding_mode="zeros", align_corners=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# warp_grid_shear: sequential per-axis resample of free displacement grids
+# ---------------------------------------------------------------------------
+
+def _disp_grid(seed, B, dhw, factor=0.5):
+    from dg_tta_tpu.core.fields import get_disp_field
+    from dg_tta_tpu.core.grid import identity_grid
+    ident = identity_grid(dhw, align_corners=False)
+    disp, disp_inv = get_disp_field(jax.random.PRNGKey(seed), B, dhw,
+                                    factor=factor, interpolation_factor=5)
+    return (tuple(i[None] + d for i, d in zip(ident, disp)),
+            tuple(i[None] + d for i, d in zip(ident, disp_inv)))
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_grid_shear_single_axis_disp_exact(padding_mode):
+    """A displacement along ONE axis has no cross terms: the sequential
+    form must match the joint trilinear warp exactly (up to f32 order)."""
+    from dg_tta_tpu.core.grid import identity_grid
+    from dg_tta_tpu.ops.warp_shear import warp_grid_shear
+    B, C = 2, 3
+    flat = jax.random.normal(jax.random.PRNGKey(0), (B, C, N), jnp.float32)
+    ident = identity_grid(DHW, align_corners=False)
+    dx = 0.04 * jnp.sin(jnp.linspace(0, 6.0, N)).reshape(1, *DHW)
+    dx = jnp.tile(dx, (B, 1, 1, 1))  # grid_sample_flat wants grid batch == B
+    grid = (ident[0][None] + dx, ident[1][None] + 0.0 * dx,
+            ident[2][None] + 0.0 * dx)
+    ref = grid_sample_flat(flat, DHW, grid, padding_mode=padding_mode,
+                           align_corners=False)
+    got = warp_grid_shear(flat, grid, DHW, padding_mode=padding_mode,
+                          align_corners=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_grid_shear_tta_disp_family_on_smooth_data(seed):
+    """The TTA deformable family (get_disp_field, factor 0.5): sequential
+    per-axis passes differ from the joint warp by O(|d|*grad d) cross
+    terms — compared on smooth data where both approximate the continuous
+    field (cf. the affine off-diagonal contract above)."""
+    from dg_tta_tpu.ops.warp_shear import warp_grid_shear
+    B, C = 2, 2
+    flat = smooth_volume(B, C, DHW, seed=seed)
+    grid, grid_inv = _disp_grid(seed, B, DHW)
+    for g in (grid, grid_inv):
+        ref = grid_sample_flat(flat, DHW, g, padding_mode="zeros",
+                               align_corners=False)
+        got = warp_grid_shear(flat, g, DHW, padding_mode="zeros",
+                              align_corners=False)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 0.03, err  # value range ~[-1, 1]
+
+
+def test_grid_shear_grad_is_exact_adjoint():
+    """jax.grad through the banded passes is the exact transpose of the
+    (approximate) warp: <W v, u> == <v, W^T u> to f32 accuracy."""
+    from dg_tta_tpu.ops.warp_shear import warp_grid_shear
+    B, C = 1, 2
+    grid, _ = _disp_grid(7, B, DHW)
+    v = jax.random.normal(jax.random.PRNGKey(1), (B, C, N), jnp.float32)
+    u = jax.random.normal(jax.random.PRNGKey(2), (B, C, N), jnp.float32)
+
+    def f(x):
+        return jnp.vdot(warp_grid_shear(x, grid, DHW, padding_mode="zeros",
+                                        align_corners=False), u)
+
+    wv = warp_grid_shear(v, grid, DHW, padding_mode="zeros",
+                         align_corners=False)
+    lhs = float(jnp.vdot(wv, u))
+    rhs = float(jnp.vdot(v, jax.grad(f)(v)))
+    np.testing.assert_allclose(lhs, rhs, rtol=2e-5)
+
+
+def test_engine_deformable_disp_shear_tracks_gather_path(monkeypatch):
+    """Engine-level: the deformable member with DGTTA_DISP_SHEAR=1 must
+    optimize the same objective as the joint-gather path — loss
+    trajectories within a small absolute band (cf. the REL_FRAME 0.02
+    contract; the warp filters differ by the cross-term contract)."""
+    import dataclasses
+    from dg_tta_tpu.models.network import Model
+    from dg_tta_tpu.models.plans import ArchSpec
+    from dg_tta_tpu.tta.engine import tta_one_volume
+    from dg_tta_tpu.core.patches import bucket_shape_for, pad_to_bucket
+    from dg_tta_tpu.tta.plan import TTAPlan
+
+    spec = ArchSpec(features_per_stage=(4, 8), kernel_sizes=((3, 3, 3),) * 2,
+                    strides=((1, 1, 1), (2, 2, 2)),
+                    n_conv_per_stage_encoder=(1, 1),
+                    n_conv_per_stage_decoder=(1,),
+                    num_input_channels=1, num_classes=4)
+    model = Model(spec=spec, patch_size=(16, 16, 16),
+                  trainer_name="nnUNetTrainer_GIN", uses_gin_internal=True,
+                  uses_mind=False, compute_dtype="float32")
+    plan = TTAPlan(epochs=2, patches_to_be_accumulated=2, ensemble_count=1,
+                   spatial_aug_type="deformable")
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    vol_shape = (24, 24, 24)
+    vol = jnp.asarray(rng.normal(size=(*vol_shape, 1)).astype(np.float32))
+    bucket = bucket_shape_for(vol_shape)
+    padded = pad_to_bucket(vol, bucket, pad_value=-1.0)[None]
+    shapes = jnp.asarray([[float(s) for s in vol_shape]])
+    idx = np.arange(4, dtype=np.int32)
+
+    losses = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("DGTTA_DISP_SHEAR", flag)
+        _, traj, _ = tta_one_volume(model, plan, params, padded, shapes,
+                                    idx, idx, jax.random.PRNGKey(5),
+                                    ensemble_chunk=1)
+        losses[flag] = np.asarray(traj).mean(axis=-1).ravel()
+    assert np.all(np.isfinite(losses["0"])) and np.all(
+        np.isfinite(losses["1"]))
+    np.testing.assert_allclose(losses["1"], losses["0"], atol=0.05)

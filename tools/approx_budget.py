@@ -52,10 +52,16 @@ def _phantom(vol_shape, n_classes, seed=0):
     return vol, gt
 
 
-def _pretrain_briefly(model, params, vol, gt, steps=40, lr=3e-3, seed=3):
+def _pretrain_briefly(model, params, vol, gt, steps=40, lr=1e-2, seed=3):
     """A few supervised CE steps on random phantom crops, so the engines
     start from CONFIDENT logits (the realistic TTA regime) instead of the
-    near-tie random-init worst case.  Returns (params, final_loss)."""
+    near-tie random-init worst case.  Returns (params, final_loss).
+
+    Calibration (r5, 1-core CPU, CI arch (8,16) patch 64 / vol 80): the
+    original 25-40 steps at lr 3e-3 left the model at CE ~1-2 and GT Dice
+    0.04-0.26 — NOT the confident regime the docstring claimed (and the
+    r5-committed >=0.5 asserts failed).  200 steps at lr 1e-2 reach
+    CE 0.12 / crop Dice 0.66; tests use those."""
     import jax
     import jax.numpy as jnp
     import optax

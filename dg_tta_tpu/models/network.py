@@ -56,7 +56,7 @@ def formulation_key(spec) -> tuple:
             env("DGTTA_ZPACK_MAXG", "2"),
             env("DGTTA_AFFINE_SHEAR", "auto"),
             env("DGTTA_SHEAR_BAND", "auto"),
-            env("DGTTA_REL_FRAME", "0"),
+            env("DGTTA_REL_FRAME", "auto"),
             env("DGTTA_DISP_SHEAR", "auto"),
             env("DGTTA_WARP_IMPL", "auto"),
             env("DGTTA_PALLAS_WARP", "1"),

@@ -206,9 +206,12 @@ def make_tta_functions(
     # the constant Jacobian |det theta_b| cancels in the dice ratio (it is
     # EXACT for integer-voxel translations — tests/test_relative_frame.py —
     # and O(h) in the off-grid/rotation terms).  Approximation of the same
-    # class as the shear resampler/analytic adjoint: gated off by default
-    # (DGTTA_REL_FRAME=1 opt-in), bounded by tools/approx_budget.py.
-    _rel_env = os.environ.get("DGTTA_REL_FRAME", "0")
+    # class as the shear resampler/analytic adjoint: DEFAULT on TPU since
+    # r5 (-9.9% member_run measured, PERF.md r5a) with the end-to-end
+    # accuracy delta vs ground truth bounded <=0.01 Dice in CI
+    # (tests/test_approx_budget.py::test_relative_frame_accuracy_delta...).
+    # DGTTA_REL_FRAME: 0 = off, 1 = force any backend, auto = TPU only.
+    _rel_env = os.environ.get("DGTTA_REL_FRAME", "auto")
     use_relative = (use_shear and plan.do_spatial_aug_in == "both"
                     and (_rel_env == "1"
                          or (_rel_env == "auto"

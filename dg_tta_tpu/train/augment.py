@@ -57,6 +57,22 @@ class DAConfig:
 MULTIRES_ZOOMS = (1.0 / 6.0, 0.25, 0.5)  # discrete_downsampling.py:20-24
 
 
+def _da_impl() -> str:
+    """Resolve the DA resampler implementation at trace time.
+
+    DGTTA_DA_TPU: "0" = stock XLA forms (grid_sample + window blur),
+    "1" = force the MXU matrix forms (train/augment_tpu.py), "auto"
+    (default) = MXU forms on the TPU backend.  Read at trace time — the
+    pretrain step jits once per run; probes that flip it mid-process must
+    rebuild their jitted functions (tools/probe_da.py does).
+    """
+    import os
+    v = os.environ.get("DGTTA_DA_TPU", "auto")
+    if v == "auto":
+        return "tpu" if jax.default_backend() == "tpu" else "stock"
+    return "tpu" if v == "1" else "stock"
+
+
 def _bernoulli(key, p, shape=()):
     return jax.random.uniform(key, shape) < p
 
@@ -202,14 +218,22 @@ def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
     for multipliers in the low tail of its range).
     """
     keys = jax.random.split(key, 16)
+    impl = _da_impl()
 
     # ---- spatial: rotation + scale (shared grid for img & seg) ----------
     theta = _rand_rot_scale_affine(keys[0], cfg)
-    grid = affine_grid(theta[None], patch_size, align_corners=False)
-    img = grid_sample(img[None], grid, mode="trilinear",
-                      padding_mode="border", align_corners=False)[0]
-    seg = grid_sample(seg[None], grid, mode="nearest",
-                      padding_mode="zeros", align_corners=False)[0]
+    if impl == "tpu":
+        from dg_tta_tpu.train.augment_tpu import affine_warp_tpu
+        img = affine_warp_tpu(img[None], theta[None], mode="trilinear",
+                              padding_mode="border")[0]
+        seg = affine_warp_tpu(seg[None], theta[None], mode="nearest",
+                              padding_mode="zeros")[0]
+    else:
+        grid = affine_grid(theta[None], patch_size, align_corners=False)
+        img = grid_sample(img[None], grid, mode="trilinear",
+                          padding_mode="border", align_corners=False)[0]
+        seg = grid_sample(seg[None], grid, mode="nearest",
+                          padding_mode="zeros", align_corners=False)[0]
 
     # ---- Gaussian noise -------------------------------------------------
     sig = jax.random.uniform(keys[1], (), minval=cfg.noise_sigma[0],
@@ -220,8 +244,12 @@ def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
     # ---- Gaussian blur --------------------------------------------------
     bs = jax.random.uniform(keys[3], (), minval=cfg.blur_sigma[0],
                             maxval=cfg.blur_sigma[1])
-    img = jnp.where(_bernoulli(keys[4], cfg.p_blur),
-                    _gaussian_blur(img, bs), img)
+    if impl == "tpu":
+        from dg_tta_tpu.train.augment_tpu import gaussian_blur_tpu
+        blurred = gaussian_blur_tpu(img[None], bs[None])[0]
+    else:
+        blurred = _gaussian_blur(img, bs)
+    img = jnp.where(_bernoulli(keys[4], cfg.p_blur), blurred, img)
 
     # ---- brightness (multiplicative) ------------------------------------
     b = jax.random.uniform(keys[5], (), minval=cfg.brightness[0],
@@ -253,7 +281,11 @@ def augment_sample(key, img, seg, cfg: DAConfig, patch_size):
                                   maxval=cfg.lowres_zoom[1])
         do = _bernoulli(keys[8], cfg.p_lowres)
         zoom = jnp.where(do, zoom, 1.0)
-        img = _lowres_sim(img, zoom, patch_size)
+        if impl == "tpu":
+            from dg_tta_tpu.train.augment_tpu import lowres_sim_tpu
+            img = lowres_sim_tpu(img[None], zoom[None])[0]
+        else:
+            img = _lowres_sim(img, zoom, patch_size)
 
     # ---- gamma (inverted, then plain) -----------------------------------
     img = jnp.where(_bernoulli(keys[14], cfg.p_gamma_invert),

@@ -122,23 +122,31 @@ def calc_consistent_diffeomorphic_field(
     ensure_inverse_consistency: bool = True,
     iter_steps_override=None,
     warp_impl: str = "gather",
+    dim_corr_override=None,
 ):
     """Scaling-and-squaring with optional inverse-consistency iterations.
 
     Reference: augmentation_utils.py:46-135 (Arsigny log-Euclidean framework).
-    Fields are channels-last (B, D, H, W, 3) in *voxel* units, xyz-ordered to
-    match grid convention; internally normalized by (W, H, D).
+    Fields are channels-last (B, D, H, W, 3) normalized-grid offsets,
+    xyz-ordered to match grid convention; internally scaled by the
+    reference's (D, H, W) dim-correction quirk (see below).
 
-    Returns (disp, inverse_disp) in voxel units, channels-last.
+    dim_corr_override: pass the FULL patch size when running the loop on a
+    downsampled field lattice (get_disp_field field_res="half") so the
+    internal scaling — and hence the composed field — matches the full-res
+    computation instead of picking up the lattice's own dims.
+
+    Returns (disp, inverse_disp), channels-last, same units as the input.
     """
     B, D, H, W, _ = disp_field.shape
+    corr_dims = tuple(dim_corr_override) if dim_corr_override else (D, H, W)
     # PARITY over plausibility: the reference divides the xyz-ordered field
     # channels by (D, H, W) (augmentation_utils.py:58-60) — i.e. the
     # x-component (which indexes W) is scaled by D.  That only matches the
     # "natural" per-axis normalization for cubic patches, but the
     # inverse-consistency iterations compose in this scaled space, so we
     # reproduce it exactly (tests/test_fields.py pins the convention).
-    dim_corr = jnp.asarray([D, H, W], disp_field.dtype).reshape(1, 1, 1, 1, 3)
+    dim_corr = jnp.asarray(corr_dims, disp_field.dtype).reshape(1, 1, 1, 1, 3)
     dt = 1.0 / time_steps
     steps = iter_steps_override if iter_steps_override else time_steps
 
@@ -182,22 +190,45 @@ def calc_consistent_diffeomorphic_field(
 
 
 def get_disp_field(key, batch_num, size_3d, factor: float = 0.1,
-                   interpolation_factor: int = 5, warp_impl: str = "gather"):
+                   interpolation_factor: int = 5, warp_impl: str = "gather",
+                   field_res: str = "full"):
     """Random inverse-consistent displacement grids (normalized units).
 
     Reference: augmentation_utils.py:138-153 (with its latent kwarg bug fixed).
     Returns (disp, inverse_disp), each an (x, y, z) tuple of (B, D, H, W)
     grid offsets (add to an identity grid tuple before grid_sample).
+
+    field_res="half": run the scaling-and-squaring + inverse-consistency
+    loop on a 2x-downsampled lattice and trilinearly upsample the results.
+    The random field itself is still drawn at FULL resolution (so its
+    normalized-space statistics are unchanged — the knot lattice is
+    size/interpolation_factor either way) and the loop keeps the full-res
+    dim-correction (dim_corr_override), so the half-res computation is the
+    same math on a coarser grid: O(h^2) discretization error on fields
+    that are smooth by construction (knot spacing ~interpolation_factor
+    voxels), for ~8x fewer field-warp FLOPs — the dominant cost of the
+    deformable member program on TPU (PERF.md r5d/r5h).
     """
     from dg_tta_tpu.core.grid import unpack_grid
 
     field = get_rf_field(key, batch_num, size_3d, num_fields=3,
                          interpolation_factor=interpolation_factor)
     STEPS = 5
-    disp, inv_disp = calc_consistent_diffeomorphic_field(
-        field * factor, jnp.zeros_like(field), STEPS,
-        ensure_inverse_consistency=True, warp_impl=warp_impl,
-    )
+    if field_res == "half":
+        half = tuple(max(s // 2, 4) for s in size_3d)
+        field_h = _resize_trilinear(field, half)
+        disp, inv_disp = calc_consistent_diffeomorphic_field(
+            field_h * factor, jnp.zeros_like(field_h), STEPS,
+            ensure_inverse_consistency=True, warp_impl=warp_impl,
+            dim_corr_override=size_3d,
+        )
+        disp = _resize_trilinear(disp, size_3d)
+        inv_disp = _resize_trilinear(inv_disp, size_3d)
+    else:
+        disp, inv_disp = calc_consistent_diffeomorphic_field(
+            field * factor, jnp.zeros_like(field), STEPS,
+            ensure_inverse_consistency=True, warp_impl=warp_impl,
+        )
     return unpack_grid(disp), unpack_grid(inv_disp)
 
 

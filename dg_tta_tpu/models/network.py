@@ -58,6 +58,7 @@ def formulation_key(spec) -> tuple:
             env("DGTTA_SHEAR_BAND", "auto"),
             env("DGTTA_REL_FRAME", "auto"),
             env("DGTTA_DISP_SHEAR", "auto"),
+            env("DGTTA_DISP_HALFRES", "auto"),
             env("DGTTA_WARP_IMPL", "auto"),
             env("DGTTA_PALLAS_WARP", "1"),
             env("DGTTA_PALLAS_STAGE_LIMIT", "4"),

@@ -227,6 +227,19 @@ def make_tta_functions(
                       and (_disp_env == "1"
                            or (_disp_env == "auto"
                                and jax.default_backend() == "tpu")))
+    # Half-resolution field generation for the deformable family: the
+    # scaling-and-squaring + inverse-consistency loop is the dominant cost
+    # of the deformable member on TPU; running it on a 2x lattice is the
+    # same math on a coarser grid (core/fields.get_disp_field docstring).
+    # DGTTA_DISP_HALFRES: 0 = full-res, 1 = force, auto = TPU.
+    _halfres_env = os.environ.get("DGTTA_DISP_HALFRES", "auto")
+    disp_field_res = ("half"
+                      if (plan.spatial_aug_type == "deformable"
+                          and not exact_warp_grad
+                          and (_halfres_env == "1"
+                               or (_halfres_env == "auto"
+                                   and jax.default_backend() == "tpu")))
+                      else "full")
 
     def branch_aug(key, imgs, branch_id):
         """Pre-model augmentation of one branch; returns the augmented input
@@ -268,7 +281,8 @@ def make_tta_functions(
             else:
                 disp, disp_inv = get_disp_field(
                     k_sp, B, patch_size, factor=0.5, interpolation_factor=5,
-                    warp_impl="shear" if use_disp_shear else "gather")
+                    warp_impl="shear" if use_disp_shear else "gather",
+                    field_res=disp_field_res)
                 grid = tuple(i[None] + d for i, d in zip(ident, disp))
                 grid_inv = tuple(i[None] + d
                                  for i, d in zip(ident, disp_inv))

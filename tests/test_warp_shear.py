@@ -357,3 +357,45 @@ def test_engine_deformable_disp_shear_tracks_gather_path(monkeypatch):
     assert np.all(np.isfinite(losses["0"])) and np.all(
         np.isfinite(losses["1"]))
     np.testing.assert_allclose(losses["1"], losses["0"], atol=0.05)
+
+
+def test_engine_deformable_halfres_tracks_fullres(monkeypatch):
+    """Engine-level: DGTTA_DISP_HALFRES=1 optimizes the same objective as
+    the full-res field generation (same contract style as the disp-shear
+    tracking test above — the warp FIELDS differ by the O(h^2) lattice
+    contract, tests/test_fields.py)."""
+    from dg_tta_tpu.models.network import Model
+    from dg_tta_tpu.models.plans import ArchSpec
+    from dg_tta_tpu.tta.engine import tta_one_volume
+    from dg_tta_tpu.core.patches import bucket_shape_for, pad_to_bucket
+    from dg_tta_tpu.tta.plan import TTAPlan
+
+    spec = ArchSpec(features_per_stage=(4, 8), kernel_sizes=((3, 3, 3),) * 2,
+                    strides=((1, 1, 1), (2, 2, 2)),
+                    n_conv_per_stage_encoder=(1, 1),
+                    n_conv_per_stage_decoder=(1,),
+                    num_input_channels=1, num_classes=4)
+    model = Model(spec=spec, patch_size=(16, 16, 16),
+                  trainer_name="nnUNetTrainer_GIN", uses_gin_internal=True,
+                  uses_mind=False, compute_dtype="float32")
+    plan = TTAPlan(epochs=2, patches_to_be_accumulated=2, ensemble_count=1,
+                   spatial_aug_type="deformable")
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    vol_shape = (24, 24, 24)
+    vol = jnp.asarray(rng.normal(size=(*vol_shape, 1)).astype(np.float32))
+    bucket = bucket_shape_for(vol_shape)
+    padded = pad_to_bucket(vol, bucket, pad_value=-1.0)[None]
+    shapes = jnp.asarray([[float(s) for s in vol_shape]])
+    idx = np.arange(4, dtype=np.int32)
+
+    losses = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("DGTTA_DISP_HALFRES", flag)
+        _, traj, _ = tta_one_volume(model, plan, params, padded, shapes,
+                                    idx, idx, jax.random.PRNGKey(5),
+                                    ensemble_chunk=1)
+        losses[flag] = np.asarray(traj).mean(axis=-1).ravel()
+    assert np.all(np.isfinite(losses["0"])) and np.all(
+        np.isfinite(losses["1"]))
+    np.testing.assert_allclose(losses["1"], losses["0"], atol=0.05)

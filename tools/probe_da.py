@@ -11,9 +11,10 @@ lowres (the continuous low-res simulation's grid_sample), blur (the
 static-support separable Gaussian).  The pointwise tail (noise,
 brightness, contrast, 2x gamma) is the remainder.
 
-Env: PROBE_BATCH (2), PROBE_IMPL (stock) — PROBE_IMPL=tpu times the
-MXU-form DA resamplers instead (train/augment_tpu.py) for the same
-knockout matrix.  Run under `timeout` in a subprocess.
+Env: PROBE_BATCH (2), PROBE_IMPL (stock|tpu — tpu times the MXU-form DA
+resamplers, train/augment_tpu.py, via DGTTA_DA_TPU), PROBE_STAGES (1;
+0 = time the full program only, skip the knockout matrix).  Run under
+`timeout` in a subprocess.
 """
 
 import json
@@ -38,7 +39,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
     B = int(os.environ.get("PROBE_BATCH", 2))
-    patch = (112, 112, 128)
+    patch = tuple(int(s) for s in
+                  os.environ.get("PROBE_PATCH", "112,112,128").split(","))
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.normal(size=(B, *patch, 1)).astype(np.float32))
     segs = jnp.asarray(rng.integers(0, 10, (B, *patch, 1)).astype(np.float32))
@@ -61,33 +63,36 @@ def main():
         print(json.dumps({tag: round(best, 4)}), flush=True)
         return best
 
+    impl = os.environ.get("PROBE_IMPL", "stock")
+    os.environ["DGTTA_DA_TPU"] = "1" if impl == "tpu" else "0"
+
     results = {}
-    base = jax.jit(lambda k, a, b, c: aug.augment_batch(k, a, b, c),
-                   static_argnames=())
-    # cfg is a hashable dataclass? augment_batch takes cfg positionally and
-    # it reaches jit as a static python object via closure instead:
     full_fn = jax.jit(lambda k, a, b: aug.augment_batch(k, a, b, cfg))
     results["full"] = timed("full", lambda k, a, b, c: full_fn(k, a, b))
 
-    knocks = {
-        # spatial: skip the img+seg affine grid_sample pair
-        "no_spatial": ("grid_sample", None),
-        # lowres: identity low-res simulation
-        "no_lowres": ("_lowres_sim", lambda x, zoom, ps: x),
-        # blur: identity blur
-        "no_blur": ("_gaussian_blur", lambda x, s: x),
-    }
-    for tag, (name, repl) in knocks.items():
-        orig = getattr(aug, name)
-        if tag == "no_spatial":
-            # replace grid_sample with a pass-through of the values
-            repl = lambda x, grid, **kw: x
-        setattr(aug, name, repl)
-        try:
-            fn = jax.jit(lambda k, a, b: aug.augment_batch(k, a, b, cfg))
-            results[tag] = timed(tag, lambda k, a, b, c, f=fn: f(k, a, b))
-        finally:
-            setattr(aug, name, orig)
+    if os.environ.get("PROBE_STAGES", "1") == "1":
+        if impl == "tpu":
+            import dg_tta_tpu.train.augment_tpu as aug_tpu
+            mods, knocks = aug_tpu, {
+                "no_spatial": ("affine_warp_tpu", lambda x, th, **kw: x),
+                "no_lowres": ("lowres_sim_tpu", lambda x, z, **kw: x),
+                "no_blur": ("gaussian_blur_tpu", lambda x, s, **kw: x),
+            }
+        else:
+            mods, knocks = aug, {
+                # spatial: pass the values through (img AND seg warp)
+                "no_spatial": ("grid_sample", lambda x, grid, **kw: x),
+                "no_lowres": ("_lowres_sim", lambda x, zoom, ps: x),
+                "no_blur": ("_gaussian_blur", lambda x, s: x),
+            }
+        for tag, (name, repl) in knocks.items():
+            orig = getattr(mods, name)
+            setattr(mods, name, repl)
+            try:
+                fn = jax.jit(lambda k, a, b: aug.augment_batch(k, a, b, cfg))
+                results[tag] = timed(tag, lambda k, a, b, c, f=fn: f(k, a, b))
+            finally:
+                setattr(mods, name, orig)
 
     shares = {f"{t}_share_s": round(results["full"] - v, 4)
               for t, v in results.items() if t != "full"}

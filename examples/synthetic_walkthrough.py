@@ -29,6 +29,7 @@ def main(base: Path):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     except Exception:
         pass
+    print(f"[walkthrough] jax backend: {jax.default_backend()}", flush=True)
 
     from dg_tta_tpu.data.nifti import write_nifti
     from dg_tta_tpu.cli.main import main as dgtta

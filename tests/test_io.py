@@ -255,3 +255,40 @@ def test_prepare_gate_rejects_unsupported_ending(tmp_path, monkeypatch):
     with pytest.raises(UnsupportedImageFormat):
         prepare_tta(801, 802, pretrainer="nnUNetTrainer_GIN",
                     pretrainer_config="3d_fullres", pretrainer_fold=0)
+
+
+def test_nrrd_crlf_header_with_lflf_in_payload(tmp_path):
+    """CRLF-terminated NRRD header (valid per spec) whose binary payload
+    contains b"\\n\\n": the header/data boundary must be the blank CRLF
+    line, not the first b"\\n\\n" anywhere in the file (ADVICE r4)."""
+    vol = np.full((2, 3, 4), 7, np.uint8)
+    vol[0, 0, :2] = 10  # adjacent 0x0a 0x0a bytes in the raw payload
+    path = tmp_path / "crlf.nrrd"
+    write_nrrd(path, vol, dtype=np.uint8, compressed=False)
+    raw = path.read_bytes()
+    end = raw.find(b"\n\n")
+    header, payload = raw[:end], raw[end + 2:]
+    assert b"\n\n" in payload, "payload must contain the decoy boundary"
+    path.write_bytes(header.replace(b"\n", b"\r\n") + b"\r\n\r\n" + payload)
+    data, _ = read_nrrd(path)
+    np.testing.assert_array_equal(data[0], vol)
+
+
+def _mha_bytes(ndims, dimsize, payload):
+    hdr = (f"ObjectType = Image\nNDims = {ndims}\nDimSize = {dimsize}\n"
+           "ElementType = MET_UCHAR\nElementDataFile = LOCAL\n")
+    return hdr.encode("ascii") + payload
+
+
+def test_mha_temporal_ndims4_is_loud(tmp_path):
+    """A 4-D MetaImage with a non-trivial temporal dim raises the module's
+    loud UnsupportedImageFormat, not an opaque reshape error (ADVICE r4);
+    a trivial 4th dim of size 1 still loads."""
+    p = tmp_path / "t.mha"
+    p.write_bytes(_mha_bytes(4, "2 2 2 3", bytes(24)))
+    with pytest.raises(UnsupportedImageFormat):
+        read_mha(p)
+    p2 = tmp_path / "ok.mha"
+    p2.write_bytes(_mha_bytes(4, "2 2 2 1", bytes(8)))
+    data, _ = read_mha(p2)
+    assert data.shape == (1, 2, 2, 2)

@@ -384,3 +384,34 @@ def test_masked_zscore_matches_nnunet_semantics():
     np.testing.assert_allclose(
         out2[0], (data[0] - data[0].mean()) / max(data[0].std(), 1e-8),
         atol=1e-5)
+
+
+def test_partial_preprocessed_store_is_redone(mini_raw, tmp_path,
+                                              monkeypatch):
+    """An interrupted preprocessing run (npz files present but no completion
+    marker, or a marker whose listed cases are missing on disk) must be
+    re-run, not silently accepted and baked into splits_final.json
+    (ADVICE r4; nnUNet semantics: the store is all-or-nothing)."""
+    monkeypatch.setenv("nnUNet_raw", str(mini_raw.parent))
+    from dg_tta_tpu.train.pretrain import _ensure_preprocessed
+
+    pre = tmp_path / "pp" / "Dataset903_TrainMini"
+    _, _, store, _ = _ensure_preprocessed("Dataset903_TrainMini", None, pre)
+    marker = store / ".preprocess_complete.json"
+    assert marker.is_file()
+    cases = json.load(open(marker))["cases"]
+    assert len(cases) == 3
+    assert all((store / f"{c}.npz").is_file() for c in cases)
+
+    # interrupted run: some npz exist but no completion marker yet
+    marker.unlink()
+    (store / f"{cases[0]}.npz").unlink()
+    _ensure_preprocessed("Dataset903_TrainMini", None, pre)
+    assert (store / f"{cases[0]}.npz").is_file()
+    assert marker.is_file()
+
+    # marker listing a case whose npz vanished must also trigger a re-run
+    (store / f"{cases[1]}.npz").unlink()
+    _ensure_preprocessed("Dataset903_TrainMini", None, pre)
+    assert (store / f"{cases[1]}.npz").is_file()
+    assert sorted(json.load(open(marker))["cases"]) == sorted(cases)
